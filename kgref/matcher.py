@@ -1,0 +1,228 @@
+"""Multi-term dictionary matcher — the reference's mgrep stage, in-process.
+
+The reference ships text over TCP to a closed-source C radix-tree server
+(mgrep, U. Michigan) and gets back ``id\tfrom\tto\tword`` lines with
+1-based inclusive character offsets over the UPPERCASED text
+(ref:lib/ncbo_annotator/mgrep/mgrep.rb Client#annotate [H]).  This module
+re-implements that contract as pure Python + compiled regex so it can run
+inside Ray actor-pool workers with zero network hops (SURVEY.md §2 M1–M7,
+ST1).  No Ray imports here — unit-testable standalone.
+
+Matching semantics (pinned; SURVEY.md §7 "hard parts" 1–2):
+
+- Text and dictionary terms are uppercased (M1).  Uppercasing is
+  length-preserving for ASCII; fixtures stay ASCII like the reference's
+  (non-1:1 Unicode case folds are a documented limitation).
+- ``whole_word_only=True`` (mgrep 'longword' flag Y, the default): a match
+  must start and end on token boundaries, where tokens are maximal runs of
+  ``[A-Z0-9_]``.  Implementation: token-window scan — for each token i,
+  join windows of up to Lmax tokens and look the raw substring up in a
+  hash index.  O(tokens × Lmax) with first-token pruning; the inner
+  operations are C-speed dict/str ops, no per-character Python loop.
+- ``whole_word_only=False``: matches may start/end mid-token; implemented
+  with an Aho–Corasick automaton built lazily over the same terms.
+- ``longest_only`` (M7): applied at raw-match level (mgrep applies its
+  longword semantics before the gem's filters): a span is dropped iff it
+  is contained in a strictly longer match span.  Equal spans (same span,
+  several terms/classes) all survive.
+- Raw-match filters (applied BEFORE term→class resolution, matching the
+  reference's annotate_direct order [H]): min_term_size (M4, on matched
+  string length), stop words (M5, case-insensitive on the matched
+  string), exclude_numbers (M6, purely-numeric matched strings).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[A-Z0-9_]+")
+_NUMERIC_RE = re.compile(r"[0-9]+\Z")
+
+
+@dataclass(frozen=True)
+class RawMatch:
+    """One mgrep-style match over one text. start0/end0 are 0-based
+    half-open; the reference's 1-based inclusive pair is (start0+1, end0)."""
+
+    term_id: int
+    start0: int
+    end0: int
+
+
+class TermDictionary:
+    """Dictionary of normalized terms → dense term ids (D2).
+
+    ≙ the mgrep dictionary file ``id\tTERM`` + the radix tree the mgrep
+    server builds from it (ref:lib/ncbo_annotator.rb
+    generate_dictionary_file [H]).  Term ids are assigned upstream
+    (deterministically: sort distinct upper(term), enumerate — A3).
+    """
+
+    def __init__(self, term_ids_by_norm: dict[str, int]):
+        self.term_ids_by_norm = term_ids_by_norm
+        # token-window index structures (whole-word path)
+        self._first_tokens: dict[str, int] = {}  # first token -> max #tokens
+        self._max_term_len = 0
+        for term in term_ids_by_norm:
+            toks = TOKEN_RE.findall(term)
+            if not toks:  # term with no word chars cannot whole-word match
+                continue
+            prev = self._first_tokens.get(toks[0], 0)
+            if len(toks) > prev:
+                self._first_tokens[toks[0]] = len(toks)
+            if len(term) > self._max_term_len:
+                self._max_term_len = len(term)
+        self._ac: _AhoCorasick | None = None  # lazy (subword path only)
+
+    @classmethod
+    def from_labels_table(cls, labels: pa.Table) -> "TermDictionary":
+        terms = labels.column("term_norm").to_pylist()
+        ids = labels.column("term_id").to_pylist()
+        return cls(dict(zip(terms, ids)))
+
+    def __len__(self) -> int:
+        return len(self.term_ids_by_norm)
+
+    # -- whole-word matching (default; mgrep longword=Y) -------------------
+    def match_whole_word(self, utext: str) -> list[RawMatch]:
+        out: list[RawMatch] = []
+        index = self.term_ids_by_norm
+        first = self._first_tokens
+        spans = [m.span() for m in TOKEN_RE.finditer(utext)]
+        n = len(spans)
+        max_len = self._max_term_len
+        for i in range(n):
+            s = spans[i][0]
+            width = first.get(utext[s : spans[i][1]], 0)
+            for j in range(i, min(i + width, n)):
+                e = spans[j][1]
+                if e - s > max_len:
+                    break
+                tid = index.get(utext[s:e])
+                if tid is not None:
+                    out.append(RawMatch(tid, s, e))
+        return out
+
+    # -- sub-token matching (whole_word_only=False; mgrep longword=N) ------
+    def match_subword(self, utext: str) -> list[RawMatch]:
+        if self._ac is None:
+            self._ac = _AhoCorasick(self.term_ids_by_norm)
+        return self._ac.search(utext)
+
+    def match(self, utext: str, whole_word_only: bool = True) -> list[RawMatch]:
+        if whole_word_only:
+            return self.match_whole_word(utext)
+        return self.match_subword(utext)
+
+
+class _AhoCorasick:
+    """Minimal Aho–Corasick (goto/fail/output) over uppercased terms.
+
+    Used only for the non-default ``whole_word_only=False`` path; the hot
+    whole-word path uses the token-window index above, which is faster in
+    pure Python because its inner loop is one dict probe per token window
+    rather than one per character.
+    """
+
+    def __init__(self, term_ids_by_norm: dict[str, int]):
+        # goto: list of dict[char -> state]; output: list of term lens+ids
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[tuple[int, int]]] = [[]]  # (term_len, term_id)
+        for term, tid in term_ids_by_norm.items():
+            if not term:
+                continue
+            state = 0
+            for ch in term:
+                nxt = self.goto[state].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[state][ch] = nxt
+                state = nxt
+            self.out[state].append((len(term), tid))
+        # BFS fail links
+        from collections import deque
+
+        self.fail = [0] * len(self.goto)
+        q = deque()
+        for st in self.goto[0].values():
+            q.append(st)
+        while q:
+            r = q.popleft()
+            for ch, st in self.goto[r].items():
+                q.append(st)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[st] = self.goto[f].get(ch, 0)
+                if self.fail[st] == st:
+                    self.fail[st] = 0
+                self.out[st] = self.out[st] + self.out[self.fail[st]]
+
+    def search(self, utext: str) -> list[RawMatch]:
+        out: list[RawMatch] = []
+        state = 0
+        goto, fail, outputs = self.goto, self.fail, self.out
+        for pos, ch in enumerate(utext):
+            while state and ch not in goto[state]:
+                state = fail[state]
+            state = goto[state].get(ch, 0)
+            if outputs[state]:
+                end0 = pos + 1
+                for term_len, tid in outputs[state]:
+                    out.append(RawMatch(tid, end0 - term_len, end0))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Raw-match post-processing (M4–M7) — operates on one text's match list.
+
+
+def longest_only_filter(matches: list[RawMatch]) -> list[RawMatch]:
+    """M7/O2: drop spans contained in a strictly longer span; equal spans
+    all survive.  O(n log n) sweep."""
+    if len(matches) <= 1:
+        return matches
+    order = sorted(matches, key=lambda m: (m.start0, -m.end0))
+    kept: list[RawMatch] = []
+    max_end_prev = -1  # max end over previous DISTINCT spans
+    cur_span: tuple[int, int] | None = None
+    group_max_end = -1
+    for m in order:
+        span = (m.start0, m.end0)
+        if span != cur_span:
+            max_end_prev = max(max_end_prev, group_max_end)
+            cur_span = span
+            group_max_end = m.end0
+        # any previous distinct span has start<=m.start0; if its end>=m.end0
+        # it strictly contains this (shorter) span
+        if max_end_prev >= m.end0:
+            continue
+        kept.append(m)
+    return kept
+
+
+def raw_filter(
+    matches: list[RawMatch],
+    utext: str,
+    *,
+    min_term_size: int = 0,
+    stop_set: frozenset[str] = frozenset(),
+    exclude_numbers: bool = False,
+) -> list[RawMatch]:
+    """M4–M6 in the reference's order, on the UPPERCASED matched string."""
+    out = []
+    for m in matches:
+        val = utext[m.start0 : m.end0]
+        if min_term_size and (m.end0 - m.start0) < min_term_size:
+            continue
+        if stop_set and val in stop_set:
+            continue
+        if exclude_numbers and _NUMERIC_RE.fullmatch(val):
+            continue
+        out.append(m)
+    return out

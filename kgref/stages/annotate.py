@@ -1,0 +1,220 @@
+"""Annotate stage — the fused hot path (SURVEY.md §2 M1–M11, J1–J4, A4).
+
+One actor-pool ``map_batches`` stage does everything the reference does
+between receiving a text and returning Annotation objects
+(annotate → annotate_direct → expand_hierarchies → expand_mappings,
+ref:lib/ncbo_annotator.rb [H]), emitting flat TRIPLES rows:
+
+    ds.map_batches(AnnotateTriples, fn_constructor_args=(state_ref, opts),
+                   batch_format="pyarrow", zero_copy_batch=True,
+                   batch_size=cfg.batch_size, concurrency=N)
+
+Fusing matcher + expansion + canonicalization into one stage minimizes
+materialized intermediate rows (match fan-out multiplies bytes — every
+extra stage boundary would re-serialize the exploded rows through the
+object store).  The automaton/index build happens ONCE per actor in
+``__init__`` from the broadcast DictionaryState (``ray.put`` handle, one
+copy per node); per-batch work is dict probes + list appends at C speed.
+
+Scale notes (10^12 turns): stateless w.r.t. the data — any worker can
+take any block; dictionary is dimension-sized (≤ GBs for UMLS-scale) and
+broadcast once; output batch is built column-wise and handed back to the
+streaming executor, which backpressures on the match fan-out.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from ..matcher import RawMatch, longest_only_filter, raw_filter
+from ..schemas import TRIPLES, AnnotateOptions
+from ..state.dictionary import DictionaryState
+
+
+def _resolve_state(state) -> DictionaryState:
+    if isinstance(state, DictionaryState):
+        return state
+    import ray  # ObjectRef handed to the actor constructor
+
+    return ray.get(state)
+
+
+def annotate_rows(
+    conv_ids: list[str],
+    turn_idxs: list[int],
+    texts: list[str],
+    state: DictionaryState,
+    opts: AnnotateOptions,
+) -> pa.Table:
+    """Annotate a batch of turns → TRIPLES table.  Pure function (no Ray)."""
+    td = state.term_dictionary()
+    term_classes = state.term_classes
+    class_info = state.class_info
+    closure = state.closure
+    mappings = state.mappings
+    stopset = state.stop_words if opts.use_stop_words else frozenset()
+    if opts.extra_stop_words:
+        stopset = frozenset(stopset | {w.upper() for w in opts.extra_stop_words})
+    K = opts.expand_hierarchy_levels
+    onts = set(opts.ontologies)
+    stys = set(opts.semantic_types)
+    scoring = opts.score
+
+    # column builders
+    c_subj: list[str] = []
+    c_pred: list[str] = []
+    c_obj: list[str] = []
+    c_conv: list[str] = []
+    c_turn: list[int] = []
+    c_from: list[int] = []
+    c_to: list[int] = []
+    c_mt: list[str] = []
+    c_text: list[str] = []
+    c_dist: list[int] = []
+    c_pref: list[str] = []
+    c_cui: list[str] = []
+    c_score: list[float] = []
+
+    for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
+        if not text:
+            continue
+        utext = text.upper()  # M1
+        matches: list[RawMatch] = td.match(utext, opts.whole_word_only)  # M2/M3
+        if not matches:
+            continue
+        if opts.longest_only:  # M7 (mgrep-level, before gem filters)
+            matches = longest_only_filter(matches)
+        matches = raw_filter(  # M4–M6
+            matches,
+            utext,
+            min_term_size=opts.min_term_size,
+            stop_set=stopset,
+            exclude_numbers=opts.exclude_numbers,
+        )
+        if not matches:
+            continue
+
+        # J1 resolution + M8–M10 class filters
+        direct: list[tuple[str, str, str, int, int]] = []
+        for m in matches:
+            for uri, ont, mt in term_classes.get(m.term_id, ()):
+                if not opts.with_synonyms and mt != "PREF":
+                    continue
+                if onts and ont not in onts:
+                    continue
+                if stys:
+                    info = class_info.get(uri)
+                    if not info or not stys.intersection(info[3]):
+                        continue
+                direct.append((uri, ont, mt, m.start0, m.end0))
+        if not direct:
+            continue
+
+        # A4 scoring support: per-turn surface counts (cvalue variants)
+        counts: dict[str, int] = {}
+        if scoring and scoring != "old":
+            for _u, _o, _m, s, e in direct:
+                v = utext[s:e]
+                counts[v] = counts.get(v, 0) + 1
+
+        seen: dict[tuple[str, str, str, str], int] = {}  # dedup idx by key
+
+        def emit(pred, obj, s, e, mt, dist, score):
+            subj = f"{conv_id}/{turn_idx}/{s + 1}-{e}"
+            k = (subj, pred, obj, mt)
+            prev = seen.get(k)
+            if prev is not None:  # A2/U2: keep min distance
+                if dist < c_dist[prev]:
+                    c_dist[prev] = dist
+                    c_score[prev] = score
+                return
+            seen[k] = len(c_subj)
+            info = class_info.get(obj)
+            c_subj.append(subj)
+            c_pred.append(pred)
+            c_obj.append(obj)
+            c_conv.append(conv_id)
+            c_turn.append(turn_idx)
+            c_from.append(s + 1)
+            c_to.append(e)
+            c_mt.append(mt)
+            c_text.append(text[s:e])
+            c_dist.append(dist)
+            c_pref.append(info[0] if info else "")  # M11/J4
+            c_cui.append(info[1] if info else "")
+            c_score.append(score)
+
+        for uri, ont, mt, s, e in direct:
+            if scoring:
+                base = 10.0 if mt == "PREF" else 8.0
+                if scoring == "old":
+                    sc = base
+                else:
+                    val = utext[s:e]
+                    ntoks = max(2, len([t for t in val.replace("_", " ").split() if t]))
+                    sc = (1 + math.log2(ntoks)) * counts[val]
+                    if scoring == "cvalueh":
+                        sc = round(sc * (base / 10.0), 4)
+                    else:
+                        sc = round(sc, 4)
+            else:
+                sc = 0.0
+            emit("annotated_with", uri, s, e, mt, 0, sc)
+            if K:  # J2 broadcast closure join
+                for anc, dist in closure.get(uri, ()):
+                    if dist > K:
+                        break  # closure lists are distance-sorted
+                    asc = round(sc * (0.8**dist), 4) if scoring else 0.0
+                    emit("isa_closure", anc, s, e, mt, dist, asc)
+            if opts.expand_mappings:  # J3 broadcast mapping join
+                for muri, mont in mappings.get(uri, ()):
+                    if onts and mont not in onts:
+                        continue
+                    msc = round(sc * 0.7, 4) if scoring else 0.0
+                    emit("mapped_to", muri, s, e, mt, 0, msc)
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array(c_subj, pa.string()),
+            pa.array(c_pred, pa.string()),
+            pa.array(c_obj, pa.string()),
+            pa.array(c_conv, pa.string()),
+            pa.array(c_turn, pa.int32()),
+            pa.array(c_from, pa.int32()),
+            pa.array(c_to, pa.int32()),
+            pa.array(c_mt, pa.string()),
+            pa.array(c_text, pa.string()),
+            pa.array(c_dist, pa.int32()),
+            pa.array(c_pref, pa.string()),
+            pa.array(c_cui, pa.string()),
+            pa.array(c_score, pa.float64()),
+        ],
+        schema=TRIPLES,
+    )
+    if (opts.score and opts.score_threshold > 0):
+        import pyarrow.compute as pc
+
+        table = table.filter(pc.greater_equal(table["score"], opts.score_threshold))
+    return table
+
+
+class AnnotateTriples:
+    """Callable class for ``map_batches`` actor pools (ST1/ST2)."""
+
+    def __init__(self, state, opts: AnnotateOptions | None = None):
+        self.state = _resolve_state(state)
+        self.opts = opts or AnnotateOptions()
+        # force index build once per actor (mgrep loads its dictionary at
+        # server start; we build the token-window index at actor start)
+        self.state.term_dictionary()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return annotate_rows(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("text").to_pylist(),
+            self.state,
+            self.opts,
+        )

@@ -1,0 +1,54 @@
+"""Full annotate-semantics parity: pipeline batch function vs brute-force
+oracle goldens, per option permutation (the reference's test_annotator.rb
+option matrix — SURVEY.md §5).  Pure functions, no Ray."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from kgref.fixtures import option_permutations
+from kgref.stages.annotate import annotate_rows
+from kgref.state.dictionary import DictionaryState
+
+
+def _triple_set(table, with_score=False):
+    cols = ["subj", "pred", "obj", "match_type", "distance", "matched_text",
+            "pref_label", "cui"]
+    if with_score:
+        cols.append("score")
+    rows = set()
+    data = {c: table.column(c).to_pylist() for c in cols}
+    for i in range(table.num_rows):
+        rows.add(tuple(data[c][i] for c in cols))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def env(fixture_bundle):
+    state = DictionaryState.from_dir(fixture_bundle["dict_dir"])
+    import glob
+
+    tr = pq.read_table(sorted(glob.glob(fixture_bundle["transcripts_dir"] + "/*.parquet")))
+    golden = pq.read_table(fixture_bundle["golden_path"])
+    return state, tr, golden
+
+
+@pytest.mark.parametrize("key", list(option_permutations().keys()))
+def test_option_permutation_matches_golden(env, key):
+    state, tr, golden = env
+    opts = option_permutations()[key]
+    got = annotate_rows(
+        tr.column("conv_id").to_pylist(),
+        tr.column("turn_idx").to_pylist(),
+        tr.column("text").to_pylist(),
+        state,
+        opts,
+    )
+    import pyarrow.compute as pc
+
+    want = golden.filter(pc.equal(golden["options_key"], key))
+    with_score = bool(opts.score)
+    g, w = _triple_set(got, with_score), _triple_set(want, with_score)
+    assert g == w, (
+        f"{key}: missing={list(w - g)[:5]} extra={list(g - w)[:5]} "
+        f"(|got|={len(g)} |want|={len(w)})"
+    )
