@@ -1,0 +1,88 @@
+"""End-to-end flagship pipeline (SURVEY.md §3 E1, rebuild shape):
+
+    read_parquet(transcripts)                    # pruned to 3 columns
+      → [resume] filter_done_buckets             # skip finished buckets
+      → map_batches(AnnotateTriples, actors)     # M1–M11, J1–J4, A4 fused
+      → groupby(conv_id, salt).map_groups(...)   # THE shuffle (O1, U2, A2)
+      → write_parquet(bucket=… dirs) + manifests # resumable sink
+
+The reference's serving path is one synchronous request per text through
+mgrep+Redis+SPARQL (ref:lib/ncbo_annotator.rb annotate [H]); here the
+same semantics stream through Ray Data's executor with backpressure.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data as rd
+
+from .. import __version__
+from ..schemas import AnnotateOptions, PipelineConfig
+from ..sources.transcripts import read_transcripts
+from ..stages.annotate import AnnotateTriples
+from ..stages.materialize import (
+    filter_done_buckets,
+    hot_conversations,
+    materialize_conversations,
+)
+from ..state.dictionary import DictionaryState
+
+
+def build_triples(
+    transcripts: rd.Dataset,
+    state: "DictionaryState | ray.ObjectRef",
+    opts: AnnotateOptions | None = None,
+    cfg: PipelineConfig | None = None,
+) -> rd.Dataset:
+    """Lazy Dataset of TRIPLES rows.  ``state`` should be a ``ray.put``
+    handle when called from a driver (one object-store copy, every actor
+    reads it in __init__ — never re-shipped per batch)."""
+    cfg = cfg or PipelineConfig()
+    opts = opts or cfg.options
+    return transcripts.map_batches(
+        AnnotateTriples,
+        fn_constructor_args=(state, opts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.batch_size,
+        concurrency=cfg.annotate_concurrency,
+        num_cpus=1,
+    )
+
+
+def run_pipeline(
+    transcripts_path: str | list[str],
+    dict_dir: str,
+    out_dir: str,
+    opts: AnnotateOptions | None = None,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Full job: returns the materialization metrics dict.  Rerunning
+    after a partial failure skips buckets with a manifest (resume)."""
+    cfg = cfg or PipelineConfig()
+    opts = opts or cfg.options
+
+    state = DictionaryState.from_dir(dict_dir)
+    state_ref = ray.put(state)
+
+    transcripts = read_transcripts(transcripts_path)
+    transcripts = filter_done_buckets(transcripts, out_dir, cfg.num_buckets)
+
+    # O3 skew pre-pass on the cheap side (input conv_id column only)
+    hot = hot_conversations(read_transcripts(transcripts_path,
+                                             columns=["conv_id"]),
+                            cfg.hot_conv_rows)
+
+    triples = build_triples(transcripts, state_ref, opts, cfg)
+
+    lineage = {
+        "input": transcripts_path if isinstance(transcripts_path, str)
+        else list(transcripts_path),
+        "dict_version": state.version,
+        "code_version": __version__,
+        "options_key": opts.key(),
+        "num_buckets": cfg.num_buckets,
+        "hot_convs": len(hot),
+    }
+    return materialize_conversations(triples, out_dir, cfg, hot=hot,
+                                     lineage=lineage)

@@ -1,0 +1,57 @@
+"""Input sources (SURVEY.md §2.1).
+
+The reference's input source is a single request string per ``annotate``
+call; the corpus-scale equivalent is a Parquet table of transcripts
+(BASELINE.json input_hint).  Reads always prune to the columns a stage
+needs — the annotate path needs only (conv_id, turn_idx, text)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+ANNOTATE_COLUMNS = ["conv_id", "turn_idx", "text"]
+
+
+def read_transcripts(path: str | list[str], *, columns: list[str] | None = None,
+                     override_num_blocks: int | None = None) -> rd.Dataset:
+    return rd.read_parquet(
+        path,
+        columns=columns or ANNOTATE_COLUMNS,
+        override_num_blocks=override_num_blocks,
+    )
+
+
+def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
+                             override_num_blocks: int | None = None) -> rd.Dataset:
+    """Adapter: the driver's ``documents`` table viewed as transcripts.
+
+    Deterministic, order-independent mapping — conv/turn derive from
+    doc_id alone: conv_id = 'conv-%06d' % (doc_id // turns_per_conv),
+    turn_idx = doc_id % turns_per_conv.  Used by bench/demo runs so the
+    flagship pipeline exercises the exact input_hint shape without
+    synthesizing external data."""
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = batch.column("doc_id")
+        conv_num = pc.divide(doc_id, turns_per_conv)
+        conv_id = pc.binary_join_element_wise(
+            pa.array(["conv-"] * len(batch)),
+            pc.cast(conv_num, pa.string()),
+            "",
+        )
+        turn_idx = pc.cast(pc.subtract(doc_id, pc.multiply(conv_num, turns_per_conv)),
+                           pa.int32())
+        return pa.Table.from_arrays(
+            [conv_id, turn_idx, batch.column("text")],
+            names=["conv_id", "turn_idx", "text"],
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=override_num_blocks,
+    )
+    return ds.map_batches(to_turns, batch_format="pyarrow")

@@ -1,0 +1,225 @@
+"""Per-conversation materialization — THE shuffle (SURVEY.md §2.5–2.7, §4).
+
+Re-expresses the reference's per-request "group matches by annotated
+class into Annotation objects" (annotate_direct's in-memory hash, A1 [H])
+as the corpus-scale group-by-conversation materialization the north_star
+mandates: triples are hash-bucketed on conv_id, grouped per
+(conv_id, salt), stable-sorted by turn order, deduped, and written as
+partitioned Parquet edge tables with one lineage/metrics manifest per
+bucket — the unit of checkpoint/resume.
+
+Scale design (10^12 turns):
+- ONE all-to-all exchange in the whole pipeline (the groupby here); every
+  other join is broadcast map-side.  The groupby key is
+  (conv_id, salt) — never a global sort.
+- Skew: hot conversations (counted cheaply on the INPUT's conv_id column
+  via partial per-batch counts, not on the exploded triples) are
+  range-salted ``salt = turn_idx // salt_chunk`` so each salted group is
+  a contiguous turn range and per-conv order is recovered by ordered
+  concat of its salt runs (SURVEY.md §7 hard-part 4; never hash-salt).
+- Resume: buckets listed in ``_manifest/`` are filtered out of the INPUT
+  before the expensive annotate stage even runs; finished work is
+  skipped, not recomputed.  Deterministic bucket = crc32(conv_id) % B.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..schemas import PipelineConfig
+
+MANIFEST_DIR = "_manifest"
+
+
+def bucket_of(conv_id: str, num_buckets: int) -> int:
+    return zlib.crc32(conv_id.encode("utf-8")) % num_buckets
+
+
+def add_bucket_column(batch: pa.Table, num_buckets: int,
+                      col: str = "conv_id") -> pa.Table:
+    """Vectorized-ish deterministic bucket assignment: crc32 over the
+    dictionary-encoded uniques (conv_ids repeat heavily within a block),
+    then take — one Python call per UNIQUE conv, not per row."""
+    enc = pc.dictionary_encode(batch.column(col)).combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    lut = pa.array([zlib.crc32(u.encode("utf-8")) % num_buckets for u in uniq],
+                   pa.int32())
+    buckets = lut.take(enc.indices)
+    return batch.append_column("bucket", buckets)
+
+
+def done_buckets(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket-") and f.endswith(".json"):
+            done.add(int(f[len("bucket-"):-len(".json")]))
+    return done
+
+
+def filter_done_buckets(ds: rd.Dataset, out_dir: str, num_buckets: int,
+                        conv_col: str = "conv_id") -> rd.Dataset:
+    """Drop rows of already-finished buckets (resume path) BEFORE the
+    expensive stages.  No-op scan cost when nothing is done."""
+    done = done_buckets(out_dir)
+    if not done:
+        return ds
+    done_arr = pa.array(sorted(done), pa.int32())
+
+    def drop(batch: pa.Table) -> pa.Table:
+        b = add_bucket_column(batch, num_buckets, conv_col)
+        keep = pc.invert(pc.is_in(b.column("bucket"), value_set=done_arr))
+        return batch.filter(keep)
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Hot-conversation pre-pass (O3): partial counts inside map_batches, then a
+# tiny groupby over per-batch partials — the exchange moves one row per
+# (batch, conv), not one per turn.
+
+
+def hot_conversations(transcripts: rd.Dataset, threshold: int) -> dict[str, int]:
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column("conv_id")).combine_chunks()
+        counts = pc.value_counts(enc.indices)
+        uniq = enc.dictionary
+        return pa.Table.from_arrays(
+            [uniq.take(counts.field("values")), pc.cast(counts.field("counts"), pa.int64())],
+            names=["conv_id", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = transcripts.select_columns(["conv_id"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+    agg = partials.groupby("conv_id").aggregate(Sum("n", alias_name="turns"))
+    hot = {}
+    for batch in agg.iter_batches(batch_format="pyarrow"):
+        mask = pc.greater_equal(batch.column("turns"), threshold)
+        sub = batch.filter(mask)
+        for cid, n in zip(sub.column("conv_id").to_pylist(),
+                          sub.column("turns").to_pylist()):
+            hot[cid] = int(n)
+    return hot
+
+
+def add_salt_column(ds: rd.Dataset, hot: dict[str, int], salt_chunk: int) -> rd.Dataset:
+    """Range-salt hot conversations: salt = turn_idx // salt_chunk (0 for
+    cold convs) — salt groups are disjoint, contiguous turn ranges."""
+    hot_keys = frozenset(hot)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        if not hot_keys:
+            return batch.append_column("salt", pa.array([0] * len(batch), pa.int32()))
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        s = [(t // salt_chunk) if c in hot_keys else 0 for c, t in zip(conv, turn)]
+        return batch.append_column("salt", pa.array(s, pa.int32()))
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _order_dedup(group: pd.DataFrame) -> pd.DataFrame:
+    """O1 + U2 inside one (conv_id, salt) group: stable turn ordering by
+    (turn_idx, from_1b, pred, obj) and exact dedup of
+    (subj, pred, obj, match_type) keeping min distance (A2)."""
+    group = group.sort_values(
+        ["turn_idx", "from_1b", "to_1b", "pred", "obj", "match_type", "distance"],
+        kind="mergesort",
+    )
+    group = group.drop_duplicates(subset=["subj", "pred", "obj", "match_type"],
+                                  keep="first")
+    return group
+
+
+def materialize_conversations(
+    triples: rd.Dataset,
+    out_dir: str,
+    cfg: PipelineConfig,
+    *,
+    hot: dict[str, int] | None = None,
+    lineage: dict | None = None,
+) -> dict:
+    """Group → order → dedup → partitioned write + per-bucket manifests.
+
+    Returns summary metrics.  Buckets already present in ``_manifest/``
+    must have been filtered upstream (filter_done_buckets) — this
+    function writes only what it receives and manifests exactly the
+    buckets it wrote."""
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+
+    B = cfg.num_buckets
+    salted = add_salt_column(triples, hot or {}, cfg.salt_chunk)
+    salted = salted.map_batches(lambda b: add_bucket_column(b, B),
+                                batch_format="pyarrow")
+
+    grouped = salted.groupby(["conv_id", "salt"]).map_groups(
+        _order_dedup, batch_format="pandas"
+    )
+    grouped = grouped.drop_columns(["salt"])
+
+    staging = os.path.join(out_dir, "_staging")
+    grouped.write_parquet(staging, partition_cols=["bucket"])
+
+    # finalize: move bucket dirs into place atomically, then manifest them.
+    # per-bucket row counts come from parquet footers (cheap metadata reads).
+    import pyarrow.parquet as pq
+
+    written = sorted(
+        d for d in os.listdir(staging) if d.startswith("bucket=")
+    ) if os.path.isdir(staging) else []
+    metrics = {"buckets": 0, "rows": 0, "wall_sec": 0.0}
+    for d in written:
+        bid = int(d.split("=")[1])
+        src = os.path.join(staging, d)
+        dst = os.path.join(out_dir, f"bucket={bid:04d}")
+        if os.path.exists(dst):
+            import shutil
+
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+        rows = 0
+        convs = set()
+        for f in os.listdir(dst):
+            if f.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(dst, f))
+                rows += md.num_rows
+                t = pq.read_table(os.path.join(dst, f), columns=["conv_id"])
+                convs.update(pc.unique(t.column("conv_id")).to_pylist())
+        manifest = {
+            "bucket": bid,
+            "rows": rows,
+            "num_convs": len(convs),
+            "completed_at": time.time(),
+            "lineage": lineage or {},
+        }
+        tmp = os.path.join(out_dir, MANIFEST_DIR, f".bucket-{bid}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bid}.json"))
+        metrics["buckets"] += 1
+        metrics["rows"] += rows
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    metrics["wall_sec"] = round(time.time() - t0, 3)
+    return metrics
