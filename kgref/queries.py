@@ -1,0 +1,317 @@
+"""Driver-contract queries and DuckDB oracles (SURVEY.md §5 item 4).
+
+Each entry here is one operator/pipeline from SURVEY.md §2 exposed as a
+callable over the driver's testdata dir, plus (where SQL-expressible) an
+equivalent DuckDB query over the same parquet views.  The annotate
+family runs the REAL pipeline stages (documents viewed as transcripts,
+``kgref.docdict`` dictionary) and its oracles re-derive the exact same
+span-level triples in pure SQL from the shared dictionary constants —
+matching subj/spans/preds/objects value-for-value, not just counts.
+
+Column names and types are aligned pairwise (the driver hashes values
+under sorted column names); floats are rounded identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import docdict
+from .schemas import AnnotateOptions, PipelineConfig
+
+SF_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings")
+
+_CFG = PipelineConfig(batch_size=512, annotate_concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# Annotate family — Ray side
+
+
+def _annotate_ds(sf_dir: str, opts: AnnotateOptions):
+    import ray
+
+    from .pipelines.annotate_pipeline import build_triples
+    from .sources.transcripts import documents_as_transcripts
+
+    ds = documents_as_transcripts(sf_dir, turns_per_conv=docdict.TURNS_PER_CONV)
+    return build_triples(ds, ray.put(docdict.state()), opts, _CFG)
+
+
+def _annotate_q(opts: AnnotateOptions) -> Callable[[str], Any]:
+    return lambda sf_dir: _annotate_ds(sf_dir, opts)
+
+
+def _conv_triple_counts(sf_dir: str):
+    import pandas as pd
+
+    t = _annotate_ds(sf_dir, AnnotateOptions())
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": [df["conv_id"].iloc[0]], "n_triples": [len(df)],
+             "n_classes": [df["obj"].nunique()]}
+        )
+
+    return t.groupby("conv_id").map_groups(agg, batch_format="pandas")
+
+
+def _conv_subgraph(sf_dir: str):
+    """Flagship shape: annotate → groupby(conv) → stable order + dedup
+    (the materialize stage's group fn, without the parquet sink)."""
+    from .stages.materialize import _order_dedup
+
+    t = _annotate_ds(
+        sf_dir, AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
+    )
+    return t.groupby("conv_id").map_groups(_order_dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Annotate family — SQL oracle generator.  Shares every constant with the
+# Ray path via kgref.docdict; the matching itself is re-derived
+# independently (token zip-unnest + slice equality), so Ray and SQL are
+# two implementations of one spec.
+
+
+def annotate_oracle_sql(opts: AnnotateOptions) -> str:
+    tpc = docdict.TURNS_PER_CONV
+    stop = set(docdict.STOPWORDS) if opts.use_stop_words else set()
+    stop |= {w.upper() for w in opts.extra_stop_words}
+
+    raw_conds = []
+    if opts.min_term_size:
+        raw_conds.append(f"length(term) >= {opts.min_term_size}")
+    if stop:
+        lst = ", ".join("'" + w + "'" for w in sorted(stop))
+        raw_conds.append(f"upper(term) NOT IN ({lst})")
+    if opts.exclude_numbers:
+        raw_conds.append("NOT regexp_full_match(term, '[0-9]+')")
+    raw_where = (" WHERE " + " AND ".join(raw_conds)) if raw_conds else ""
+
+    if opts.longest_only:
+        raw1 = (
+            "raw1 AS (SELECT * FROM raw0 r1 WHERE NOT EXISTS ("
+            "SELECT 1 FROM raw0 r2 WHERE r2.doc_id = r1.doc_id"
+            " AND r2.from_1b <= r1.from_1b AND r2.to_1b >= r1.to_1b"
+            " AND (r2.to_1b - r2.from_1b) > (r1.to_1b - r1.from_1b)))"
+        )
+    else:
+        raw1 = "raw1 AS (SELECT * FROM raw0)"
+
+    cls_conds = []
+    if not opts.with_synonyms:
+        cls_conds.append("l.match_type = 'PREF'")
+    if opts.ontologies:
+        lst = ", ".join("'" + o + "'" for o in opts.ontologies)
+        cls_conds.append(f"l.ontology IN ({lst})")
+    if opts.semantic_types:
+        lst = ", ".join("'" + s + "'" for s in opts.semantic_types)
+        cls_conds.append(
+            "EXISTS (SELECT 1 FROM sty s WHERE s.class_uri = l.class_uri"
+            f" AND s.sty IN ({lst}))"
+        )
+    cls_where = (" WHERE " + " AND ".join(cls_conds)) if cls_conds else ""
+
+    if opts.score == "old":
+        d_score = ("round(CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
+                   ", 4)")
+        h_score = ("round(CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
+                   " * power(0.8, MIN(clo.distance)), 4)")
+        m_score = ("round(CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
+                   " * 0.7, 4)")
+    else:
+        d_score = h_score = m_score = "0.0"
+
+    subj = ("b.conv_id || '/' || CAST(b.turn_idx AS VARCHAR) || '/' || "
+            "CAST(b.from_1b AS VARCHAR) || '-' || CAST(b.to_1b AS VARCHAR)")
+
+    parts = [
+        f"""direct_t AS (
+  SELECT {subj} AS subj, 'annotated_with' AS pred, b.class_uri AS obj,
+         b.conv_id, b.turn_idx, b.from_1b, b.to_1b, b.match_type,
+         b.term AS matched_text, 0 AS distance, c.pref_label, c.cui,
+         {d_score} AS score
+  FROM base b JOIN cls c ON c.class_uri = b.class_uri)"""
+    ]
+    sel = ["SELECT * FROM direct_t"]
+
+    K = opts.expand_hierarchy_levels
+    if K:
+        parts.append(f"""hier_g AS (
+  SELECT b.conv_id, b.turn_idx, b.from_1b, b.to_1b, b.match_type, b.term,
+         clo.ancestor_uri, MIN(clo.distance) AS distance, {h_score} AS score
+  FROM base b JOIN clo ON clo.class_uri = b.class_uri AND clo.distance <= {K}
+  GROUP BY b.conv_id, b.turn_idx, b.from_1b, b.to_1b, b.match_type, b.term,
+           clo.ancestor_uri)""")
+        parts.append(f"""hier_t AS (
+  SELECT {subj} AS subj, 'isa_closure' AS pred, b.ancestor_uri AS obj,
+         b.conv_id, b.turn_idx, b.from_1b, b.to_1b, b.match_type,
+         b.term AS matched_text, b.distance, c.pref_label, c.cui, b.score
+  FROM hier_g b JOIN cls c ON c.class_uri = b.ancestor_uri)""")
+        sel.append("SELECT * FROM hier_t")
+
+    if opts.expand_mappings:
+        mcond = ""
+        if opts.ontologies:
+            lst = ", ".join("'" + o + "'" for o in opts.ontologies)
+            mcond = f" AND m.mapped_ontology IN ({lst})"
+        parts.append(f"""map_t AS (
+  SELECT DISTINCT {subj} AS subj, 'mapped_to' AS pred,
+         m.mapped_class_uri AS obj, b.conv_id, b.turn_idx, b.from_1b,
+         b.to_1b, b.match_type, b.term AS matched_text, 0 AS distance,
+         c.pref_label, c.cui, {m_score} AS score
+  FROM base b JOIN map m ON m.class_uri = b.class_uri{mcond}
+  JOIN cls c ON c.class_uri = m.mapped_class_uri)""")
+        sel.append("SELECT * FROM map_t")
+
+    union = " UNION ALL ".join(sel)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t),
+{docdict.sql_dict_cte()},
+{docdict.sql_labels_cte()},
+{docdict.sql_classes_cte()},
+{docdict.sql_semtypes_cte()},
+{docdict.sql_closure_cte()},
+{docdict.sql_mappings_cte()},
+raw0 AS (
+  SELECT doc_id, term_id, term,
+    CAST(CASE WHEN p = 1 THEN 1
+         ELSE length(array_to_string(list_slice(w, 1, p - 1), ' ')) + 2
+         END AS INTEGER) AS from_1b,
+    CAST(CASE WHEN p = 1 THEN 1
+         ELSE length(array_to_string(list_slice(w, 1, p - 1), ' ')) + 2
+         END + length(term) - 1 AS INTEGER) AS to_1b
+  FROM tok JOIN dict ON p + ntok - 1 <= len(w)
+   AND array_to_string(list_slice(w, p, p + ntok - 1), ' ') = term),
+{raw1},
+raw AS (SELECT * FROM raw1{raw_where}),
+direct AS (
+  SELECT r.doc_id, r.from_1b, r.to_1b, r.term, l.class_uri, l.ontology,
+         l.match_type
+  FROM raw r JOIN labels l USING (term_id){cls_where}),
+base AS (
+  SELECT 'conv-' || CAST(doc_id // {tpc} AS VARCHAR) AS conv_id,
+         CAST(doc_id % {tpc} AS INTEGER) AS turn_idx, d.*
+  FROM direct d),
+{",".join(parts)}
+SELECT subj, pred, obj, conv_id, turn_idx, from_1b, to_1b, match_type,
+       matched_text, CAST(distance AS INTEGER) AS distance, pref_label, cui,
+       CAST(score AS DOUBLE) AS score
+FROM ({union})
+"""
+
+
+ANNOTATE_VARIANTS: dict[str, AnnotateOptions] = {
+    "annotate_direct": AnnotateOptions(),
+    "annotate_min_term": AnnotateOptions(min_term_size=5),
+    "annotate_stop_extra": AnnotateOptions(extra_stop_words=("spark", "big")),
+    "annotate_nostop": AnnotateOptions(use_stop_words=False),
+    "annotate_nosyn": AnnotateOptions(with_synonyms=False),
+    "annotate_ont_filter": AnnotateOptions(ontologies=("DOC",)),
+    "annotate_semtype": AnnotateOptions(semantic_types=("T_OP", "T_SYS")),
+    "annotate_hier2": AnnotateOptions(expand_hierarchy_levels=2),
+    "annotate_hier_full": AnnotateOptions(expand_hierarchy_levels=999),
+    "annotate_mappings": AnnotateOptions(expand_mappings=True),
+    "annotate_longest": AnnotateOptions(longest_only=True),
+    "annotate_score_old": AnnotateOptions(score="old",
+                                          expand_hierarchy_levels=2),
+}
+
+# non-SQL-expressible variants → rows-only checks
+ANNOTATE_ROWS_ONLY: dict[str, AnnotateOptions] = {
+    "annotate_subword": AnnotateOptions(whole_word_only=False),
+    "annotate_score_cvalue": AnnotateOptions(score="cvalue"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Plain relational operators over the driver tables (groupby / sort / limit)
+
+
+def _events_agg(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Mean("value", alias_name="avg_value")
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("avg_value")
+        return b.set_column(i, "avg_value", pc.round(b.column("avg_value"),
+                                                     ndigits=4))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _top_users(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract assembly
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    q: dict[str, Callable[[str], Any]] = {}
+    for name, opts in ANNOTATE_VARIANTS.items():
+        q[name] = _annotate_q(opts)
+    for name, opts in ANNOTATE_ROWS_ONLY.items():
+        q[name] = _annotate_q(opts)
+    q["conv_triple_counts"] = _conv_triple_counts
+    q["conv_subgraph"] = _conv_subgraph
+    q["events_agg"] = _events_agg
+    q["top_users"] = _top_users
+
+    from .ops import register_queries  # dedup / similarity / textstats
+
+    register_queries(q)
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    for name, opts in ANNOTATE_VARIANTS.items():
+        o[name] = annotate_oracle_sql(opts)
+    base = annotate_oracle_sql(AnnotateOptions())
+    o["conv_triple_counts"] = (
+        f"SELECT conv_id, count(*) AS n_triples,"
+        f" count(DISTINCT obj) AS n_classes FROM ({base}) GROUP BY conv_id"
+    )
+    # conv_subgraph: same triple set as hier2+mappings (the groupby stage
+    # re-orders and dedups; the value set is order-insensitively compared)
+    o["conv_subgraph"] = annotate_oracle_sql(
+        AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
+    )
+    o["events_agg"] = (
+        "SELECT event_type, count(*) AS n_events,"
+        " round(avg(value), 4) AS avg_value FROM events GROUP BY event_type"
+    )
+    o["top_users"] = (
+        "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
+        " ORDER BY n_events DESC, user_id LIMIT 10"
+    )
+
+    from .ops import register_oracles
+
+    register_oracles(o)
+    return o
