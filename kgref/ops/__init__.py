@@ -1,10 +1,21 @@
-"""Training-data-pipeline operators (dedup, similarity, text analysis,
-multimodal) — registered into the driver contract by kgref.queries."""
+"""Training-data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing) — first-class components alongside the
+annotator (SURVEY.md §2), registered into the driver contract by
+``kgref.queries``."""
+
+from __future__ import annotations
+
+from . import dedup, multimodal, similarity, textstats
 
 
 def register_queries(q: dict) -> None:
-    pass
+    dedup.register(q)
+    similarity.register(q)
+    textstats.register(q)
+    multimodal.register(q)
 
 
 def register_oracles(o: dict) -> None:
-    pass
+    dedup.register({}, o)
+    similarity.register({}, o)
+    textstats.register({}, o)

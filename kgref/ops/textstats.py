@@ -1,0 +1,242 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting — the per-document scoring stages of a
+training-data pipeline, all single-pass ``map_batches`` (no shuffle).
+
+Each stage is vectorized where Arrow kernels exist
+(split/list_value_length/utf8_length); the per-row Python that remains
+(set-dedup, rolling hash) touches token lists, not characters.  The
+SQL-oracled ops (token_stats, quality_score, lang_id) share their exact
+arithmetic — including the half-up rounding convention — with their
+DuckDB strings below.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import round_half_up
+
+STOP_TOKENS = ("the", "a")
+
+# deterministic marker lists over the documents vocabulary (disjoint);
+# the corpus is synthetic so these are arbitrary but fixed — the operator
+# under test is the argmax machinery, shared verbatim with the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("big", "slow"),
+    "en": ("the", "a", "fast"),
+    "es": ("part", "line"),
+    "fr": ("table", "merge"),
+    "zh": ("stream", "window"),
+}
+
+
+def _tokens_column(batch: pa.Table) -> pa.ListArray:
+    return pc.split_pattern(batch.column("text"), " ").combine_chunks()
+
+
+# ---------------------------------------------------------------------------
+
+
+def token_stats(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = _tokens_column(batch)
+        n_tok = pc.cast(pc.list_value_length(toks), pa.int32())
+        n_distinct = pa.array(
+            [len(set(row)) for row in toks.to_pylist()], pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), n_tok, n_distinct],
+            names=["doc_id", "n_tokens", "n_distinct"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def token_stats_sql() -> str:
+    return ("SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,"
+            " CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)"
+            " AS n_distinct FROM documents")
+
+
+# ---------------------------------------------------------------------------
+
+
+def quality_score(sf_dir: str):
+    """Length/stopword-ratio quality heuristic: mean token length,
+    stop-token ratio, and a [0,1] quality = min(1, n_tokens/50) *
+    (1 - stop_ratio)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = _tokens_column(batch)
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.float64)
+        n_chars = pc.utf8_length(batch.column("text")).to_numpy() \
+            .astype(np.float64)
+        flat = toks.flatten()
+        parents = np.repeat(np.arange(len(batch)),
+                            pc.list_value_length(toks).to_numpy())
+        is_stop = pc.is_in(flat, value_set=pa.array(STOP_TOKENS)).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(parents, weights=is_stop,
+                             minlength=len(batch))
+        mean_tok = (n_chars - (n_tok - 1)) / n_tok
+        stop_ratio = n_stop / n_tok
+        quality = np.minimum(1.0, n_tok / 50.0) * (1.0 - stop_ratio)
+        r4 = lambda xs: pa.array([round_half_up(float(x)) for x in xs],
+                                 pa.float64())
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(n_chars.astype(np.int64), pa.int64()),
+             pa.array(n_tok.astype(np.int32), pa.int32()),
+             r4(mean_tok), r4(stop_ratio), r4(quality)],
+            names=["doc_id", "n_chars", "n_tokens", "mean_tok_len",
+                   "stop_ratio", "quality"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quality_score_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOP_TOKENS)
+    return f"""
+WITH b AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ({stops}))) AS n_stop
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tok AS INTEGER) AS n_tokens,
+  floor(((n_chars - (n_tok - 1)) * 1.0 / n_tok) * 10000 + 0.5) / 10000
+    AS mean_tok_len,
+  floor((n_stop * 1.0 / n_tok) * 10000 + 0.5) / 10000 AS stop_ratio,
+  floor((least(1.0, n_tok / 50.0) * (1.0 - n_stop * 1.0 / n_tok)) * 10000
+        + 0.5) / 10000 AS quality
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def lang_id(sf_dir: str):
+    """Marker-token language ID: argmax of per-language marker hit
+    counts, ties broken alphabetically, zero hits → 'und'."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    langs = sorted(LANG_MARKERS)
+    marker_sets = [frozenset(LANG_MARKERS[lg]) for lg in langs]
+
+    def predict(batch: pa.Table) -> pa.Table:
+        toks = _tokens_column(batch)
+        flat = toks.flatten()
+        counts = np.zeros((len(batch), len(langs)), dtype=np.int64)
+        parents = np.repeat(np.arange(len(batch)),
+                            pc.list_value_length(toks).to_numpy())
+        for li, ms in enumerate(marker_sets):
+            hit = pc.is_in(flat, value_set=pa.array(sorted(ms))).to_numpy(
+                zero_copy_only=False)
+            counts[:, li] = np.bincount(parents, weights=hit,
+                                        minlength=len(batch))
+        best = counts.argmax(axis=1)  # first max = alphabetical tiebreak
+        total = counts.max(axis=1)
+        preds = [langs[b] if t > 0 else "und"
+                 for b, t in zip(best, total)]
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(preds, pa.string())],
+            names=["doc_id", "lang_pred"],
+        )
+
+    return ds.map_batches(predict, batch_format="pyarrow")
+
+
+def lang_id_sql() -> str:
+    vals = ", ".join(
+        f"('{w}', '{lg}')" for lg in sorted(LANG_MARKERS)
+        for w in LANG_MARKERS[lg]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+mk(w, lang) AS (VALUES {vals}),
+h AS (SELECT doc_id, lang, count(*) AS n FROM tok JOIN mk USING (w)
+      GROUP BY doc_id, lang),
+b AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, lang) AS rn
+      FROM h)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+FP_BASE = 1_000_003
+FP_MOD = (1 << 61) - 1
+FP_WINDOW = 8
+
+
+def doc_fingerprint(sf_dir: str):
+    """Winnowing-style fingerprint: rolling polynomial hash over token
+    hashes, min over FP_WINDOW-grams (rows-only check — the hash
+    function is not SQL-replicable)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_fp, out_n = [], []
+        for text in batch.column("text").to_pylist():
+            hs = [int.from_bytes(hashlib.blake2b(t.encode(),
+                                                 digest_size=8).digest(),
+                                 "big") % FP_MOD
+                  for t in text.split(" ")]
+            if len(hs) < FP_WINDOW:
+                windows = [hs]
+            else:
+                windows = [hs[i : i + FP_WINDOW]
+                           for i in range(len(hs) - FP_WINDOW + 1)]
+            mins = []
+            for w in windows:
+                acc = 0
+                for h in w:
+                    acc = (acc * FP_BASE + h) % FP_MOD
+                mins.append(acc)
+            out_fp.append(f"{min(mins):016x}")
+            out_n.append(len(windows))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out_fp, pa.string()),
+             pa.array(out_n, pa.int64())],
+            names=["doc_id", "fingerprint", "n_windows"],
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def register(q: dict, o: dict | None = None) -> None:
+    q["token_stats"] = token_stats
+    q["quality_score"] = quality_score
+    q["lang_id"] = lang_id
+    q["doc_fingerprint"] = doc_fingerprint
+    if o is not None:
+        o["token_stats"] = token_stats_sql()
+        o["quality_score"] = quality_score_sql()
+        o["lang_id"] = lang_id_sql()
