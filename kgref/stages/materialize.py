@@ -148,6 +148,23 @@ def _order_dedup(group: pd.DataFrame) -> pd.DataFrame:
     return group
 
 
+def _order_dedup_bucket(block: pd.DataFrame) -> pd.DataFrame:
+    """O1 + U2 over one whole (bucket, salt) group — the vectorized form
+    of ``_order_dedup``.  Exact because a bucket holds entire
+    conversations (bucket = crc32(conv_id) % B) and the dedup key
+    embeds subj (conv-scoped): one multi-key lexsort with conv_id
+    leading yields per-conv turn order, and keep='first' after the
+    distance-ascending sort keeps the min-distance row (A2).  32 groups
+    of ~N/B rows each beat ~#convs pandas calls by two orders of
+    magnitude at bench scale."""
+    block = block.sort_values(
+        ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
+         "match_type", "distance"],
+    )
+    return block.drop_duplicates(subset=["subj", "pred", "obj", "match_type"],
+                                 keep="first")
+
+
 def materialize_conversations(
     triples: rd.Dataset,
     out_dir: str,
@@ -163,6 +180,7 @@ def materialize_conversations(
     function writes only what it receives and manifests exactly the
     buckets it wrote."""
     t0 = time.time()
+    _dbg = os.environ.get("KGREF_TIMING")
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
 
@@ -171,13 +189,19 @@ def materialize_conversations(
     salted = salted.map_batches(lambda b: add_bucket_column(b, B),
                                 batch_format="pyarrow")
 
-    grouped = salted.groupby(["conv_id", "salt"]).map_groups(
-        _order_dedup, batch_format="pandas"
+    # THE shuffle: co-locate whole conversations by bucket (hot convs
+    # additionally split by range-salt), then ONE vectorized sort+dedup
+    # per group — not one pandas call per conversation.
+    grouped = salted.groupby(["bucket", "salt"]).map_groups(
+        _order_dedup_bucket, batch_format="pandas"
     )
     grouped = grouped.drop_columns(["salt"])
 
     staging = os.path.join(out_dir, "_staging")
     grouped.write_parquet(staging, partition_cols=["bucket"])
+    if _dbg:
+        print(f"[materialize] shuffle+write {time.time() - t0:.1f}s",
+              file=__import__('sys').stderr, flush=True)
 
     # finalize: move bucket dirs into place atomically, then manifest them.
     # per-bucket row counts come from parquet footers (cheap metadata reads).
@@ -187,7 +211,8 @@ def materialize_conversations(
         d for d in os.listdir(staging) if d.startswith("bucket=")
     ) if os.path.isdir(staging) else []
     metrics = {"buckets": 0, "rows": 0, "wall_sec": 0.0}
-    for d in written:
+
+    def _finalize_bucket(d: str) -> tuple[int, int]:
         bid = int(d.split("=")[1])
         src = os.path.join(staging, d)
         dst = os.path.join(out_dir, f"bucket={bid:04d}")
@@ -214,9 +239,19 @@ def materialize_conversations(
         tmp = os.path.join(out_dir, MANIFEST_DIR, f".bucket-{bid}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(out_dir, MANIFEST_DIR, f"bucket-{bid}.json"))
-        metrics["buckets"] += 1
-        metrics["rows"] += rows
+        os.rename(tmp, os.path.join(out_dir, MANIFEST_DIR,
+                                    f"bucket-{bid}.json"))
+        return bid, rows
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _bid, rows in pool.map(_finalize_bucket, written):
+            metrics["buckets"] += 1
+            metrics["rows"] += rows
+    if _dbg:
+        print(f"[materialize] +manifests {time.time() - t0:.1f}s",
+              file=__import__('sys').stderr, flush=True)
     if os.path.isdir(staging):
         import shutil
 

@@ -1,0 +1,217 @@
+"""Tests for the training-data operators (kgref.ops.*): pair-generation
+kernel vs brute force, dedup strategies on the driver's sf0.001 tables,
+ANN vs a numpy oracle, text stats, and multimodal plumbing."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from kgref.ops.pairs import pairs_in_runs
+from kgref.ops.dedup import round_half_up
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pairs kernel (pure numpy, no Ray)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pairs_in_runs_matches_bruteforce(seed):
+    rng = np.random.RandomState(seed)
+    keys = np.sort(rng.randint(0, 40, size=rng.randint(0, 300)).astype(np.int64))
+    ia, ib = pairs_in_runs(keys, max_group=1000)
+    got = set(zip(ia.tolist(), ib.tolist()))
+    want = {(i, j) for i in range(len(keys)) for j in range(i + 1, len(keys))
+            if keys[i] == keys[j]}
+    assert got == want
+
+
+def test_pairs_in_runs_cap_is_deterministic_prefix():
+    keys = np.array([7] * 10, dtype=np.int64)
+    ia, ib = pairs_in_runs(keys, max_group=4)
+    # only the first 4 elements of the run participate
+    assert set(ia) | set(ib) == {0, 1, 2, 3}
+    assert len(ia) == 6  # C(4,2)
+
+
+def test_round_half_up_matches_sql_convention():
+    # Python round() is banker's: round(0.03125, 4) == 0.0312 — the SQL
+    # oracles use floor(x*1e4+0.5)/1e4, so we must too
+    assert round_half_up(0.03125) == 0.0313
+    assert round(0.03125, 4) == 0.0312  # the trap this guards against
+    assert round_half_up(0.65625) == 0.6563
+    assert round_half_up(1.0) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup over driver testdata (Ray)
+
+
+def test_exact_dedup_covers_all_docs(ray_session):
+    from kgref.ops.dedup import exact_dedup
+
+    t = exact_dedup(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert t["n_copies"].sum() == n_docs
+    assert t["keeper_doc_id"].is_unique
+
+
+def test_jaccard_pairs_against_bruteforce(ray_session):
+    from kgref.ops.dedup import (JACCARD_TAU, _token_shingles,
+                                 ngram_jaccard_pairs)
+
+    got = ngram_jaccard_pairs(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    sh = {d["doc_id"]: _token_shingles(d["text"]) for d in docs}
+    want = set()
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            sa, sb = sh[a["doc_id"]], sh[b["doc_id"]]
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_TAU:
+                want.add((a["doc_id"], b["doc_id"]))
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+
+
+def test_minhash_lsh_finds_the_planted_near_dups(ray_session):
+    from kgref.ops.dedup import ngram_jaccard_pairs, minhash_lsh_pairs
+
+    exact = ngram_jaccard_pairs(SF).to_pandas()
+    strong = set(zip(exact[exact["jaccard"] >= 0.9]["doc_a"],
+                     exact[exact["jaccard"] >= 0.9]["doc_b"]))
+    lsh = minhash_lsh_pairs(SF).to_pandas()
+    cand = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    # J≥0.9 pairs collide in ≥1 of 8 bands with near-certainty
+    assert strong <= cand
+
+
+def test_simhash_pairs_are_symmetric_free_and_within_radius(ray_session):
+    from kgref.ops.dedup import SIMHASH_RADIUS, simhash_pairs
+
+    t = simhash_pairs(SF).to_pandas()
+    assert (t["doc_a"] < t["doc_b"]).all()
+    assert (t["hamming"] <= SIMHASH_RADIUS).all()
+    assert not t.duplicated(subset=["doc_a", "doc_b"]).any()
+
+
+# ---------------------------------------------------------------------------
+# similarity (Ray + numpy oracle)
+
+
+def _normalized_all():
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def test_ann_topk_matches_numpy_oracle(ray_session):
+    from kgref.ops.similarity import N_QUERIES, TOPK, ann_topk
+
+    got = ann_topk(SF).to_pandas()
+    ids, mat = _normalized_all()
+    for q in range(N_QUERIES):
+        sims = mat @ mat[list(ids).index(q)]
+        order = sorted((-s, i) for s, i in zip(sims, ids) if i != q)
+        want = [i for _s, i in order[:TOPK]]
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == want
+
+
+def test_embedding_dup_pairs_threshold(ray_session):
+    from kgref.ops.similarity import DUP_TAU, embedding_dup_pairs
+
+    got = embedding_dup_pairs(SF).to_pandas()
+    ids, mat = _normalized_all()
+    sims = mat @ mat.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] >= DUP_TAU}
+    assert set(zip(got["vec_a"], got["vec_b"])) == want
+
+
+def test_ann_lsh_neighbors_are_genuine(ray_session):
+    """LSH recall < 1 by design, but every reported neighbor must carry
+    its true cosine and ranks must be locally consistent."""
+    from kgref.ops.similarity import ann_topk_lsh
+
+    got = ann_topk_lsh(SF).to_pandas()
+    assert not got.empty
+    for _q, sub in got.groupby("query_id"):
+        sub = sub.sort_values("rank")
+        assert (sub["cos"].diff().dropna() <= 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# text stats (Ray)
+
+
+def test_token_stats_and_quality(ray_session):
+    from kgref.ops.textstats import quality_score, token_stats
+
+    ts = token_stats(SF).to_pandas().set_index("doc_id")
+    qs = quality_score(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    for d in docs[:50]:
+        toks = d["text"].split(" ")
+        assert ts.loc[d["doc_id"], "n_tokens"] == len(toks)
+        assert ts.loc[d["doc_id"], "n_distinct"] == len(set(toks))
+        row = qs.loc[d["doc_id"]]
+        assert row["n_chars"] == len(d["text"])
+        stop = sum(1 for t in toks if t in ("the", "a"))
+        assert row["stop_ratio"] == round_half_up(stop / len(toks))
+        want_q = round_half_up(min(1.0, len(toks) / 50.0)
+                               * (1 - stop / len(toks)))
+        assert math.isclose(row["quality"], want_q, abs_tol=1e-9)
+
+
+def test_lang_id_deterministic_argmax(ray_session):
+    from kgref.ops.textstats import LANG_MARKERS, lang_id
+
+    got = lang_id(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    for d in docs[:50]:
+        toks = d["text"].split(" ")
+        counts = {lg: sum(toks.count(w) for w in ws)
+                  for lg, ws in LANG_MARKERS.items()}
+        best = max(sorted(counts), key=lambda lg: counts[lg])
+        want = best if counts[best] > 0 else "und"
+        assert got.loc[d["doc_id"], "lang_pred"] == want
+
+
+def test_fingerprint_is_deterministic(ray_session):
+    from kgref.ops.textstats import doc_fingerprint
+
+    a = doc_fingerprint(SF).to_pandas().sort_values("doc_id")
+    b = doc_fingerprint(SF).to_pandas().sort_values("doc_id")
+    assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+    assert a["fingerprint"].str.len().eq(16).all()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (Ray)
+
+
+def test_media_features_schema_and_determinism(ray_session):
+    from kgref.ops.multimodal import FEATURES, media_features
+
+    got = media_features(SF)
+    t = got.take_batch(batch_size=100, batch_format="pyarrow")
+    assert [f.name for f in FEATURES] == t.column_names
+    feats = np.array(t.column("features").to_pylist())
+    assert feats.shape[1] == 16
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+    assert set(t.column("media_type").to_pylist()) <= {"image", "audio",
+                                                        "video"}
+
+
+def test_decode_stub_rejects_real_formats():
+    from kgref.ops.multimodal import MediaFeatures
+
+    with pytest.raises(NotImplementedError):
+        MediaFeatures()._decode(b"\x89PNG\r\n\x1a\n....")
