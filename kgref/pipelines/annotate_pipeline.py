@@ -33,14 +33,23 @@ def build_triples(
     state: "DictionaryState | ray.ObjectRef",
     opts: AnnotateOptions | None = None,
     cfg: PipelineConfig | None = None,
+    recognizer: type = AnnotateTriples,
 ) -> rd.Dataset:
     """Lazy Dataset of TRIPLES rows.  ``state`` should be a ``ray.put``
     handle when called from a driver (one object-store copy, every actor
-    reads it in __init__ — never re-shipped per batch)."""
+    reads it in __init__ — never re-shipped per batch).
+
+    ``recognizer`` is the plugin surface (≙ the reference's
+    ``Annotator.settings.supported_recognizers`` /
+    ``enable_recognizer``, ref:lib/ncbo_annotator/recognizers/ [M],
+    SURVEY.md §2.10): any callable class ``(state, opts)`` →
+    ``__call__(pa.Table) -> pa.Table[TRIPLES]`` slots into the same
+    actor-pool stage — swap the Aho–Corasick matcher for another
+    recognizer without touching the pipeline."""
     cfg = cfg or PipelineConfig()
     opts = opts or cfg.options
     return transcripts.map_batches(
-        AnnotateTriples,
+        recognizer,
         fn_constructor_args=(state, opts),
         batch_format="pyarrow",
         zero_copy_batch=True,
