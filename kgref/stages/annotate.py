@@ -62,8 +62,9 @@ def annotate_rows(
     stys = set(opts.semantic_types)
     scoring = opts.score
 
-    # column builders
-    c_subj: list[str] = []
+    # column builders (subj is derived vectorized at the end —
+    # conv/turn/from-to; one f-string per emitted row would dominate
+    # the loop at match-fan-out row counts)
     c_pred: list[str] = []
     c_obj: list[str] = []
     c_conv: list[str] = []
@@ -119,20 +120,18 @@ def annotate_rows(
                 v = utext[s:e]
                 counts[v] = counts.get(v, 0) + 1
 
-        seen: dict[tuple[str, str, str, str], int] = {}  # dedup idx by key
+        seen: dict[tuple, int] = {}  # dedup idx by key (turn-scoped ≙ subj)
 
         def emit(pred, obj, s, e, mt, dist, score):
-            subj = f"{conv_id}/{turn_idx}/{s + 1}-{e}"
-            k = (subj, pred, obj, mt)
+            k = (s, e, pred, obj, mt)
             prev = seen.get(k)
             if prev is not None:  # A2/U2: keep min distance
                 if dist < c_dist[prev]:
                     c_dist[prev] = dist
                     c_score[prev] = score
                 return
-            seen[k] = len(c_subj)
+            seen[k] = len(c_pred)
             info = class_info.get(obj)
-            c_subj.append(subj)
             c_pred.append(pred)
             c_obj.append(obj)
             c_conv.append(conv_id)
@@ -183,17 +182,30 @@ def annotate_rows(
     def _dict(vals: list[str]) -> pa.Array:
         return pa.array(vals, pa.string()).dictionary_encode()
 
+    import pyarrow.compute as pc
+
+    conv_arr = pa.array(c_conv, pa.string())
+    turn_arr = pa.array(c_turn, pa.int32())
+    from_arr = pa.array(c_from, pa.int32())
+    to_arr = pa.array(c_to, pa.int32())
+    # subj = "<conv>/<turn>/<from>-<to>", built with two vectorized joins
+    subj_arr = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(
+            conv_arr, pc.cast(turn_arr, pa.string()),
+            pc.cast(from_arr, pa.string()), "/"),
+        pc.cast(to_arr, pa.string()), "-")
+
     table = pa.Table.from_arrays(
         [
-            pa.array(c_subj, pa.string()),
+            subj_arr,
             _dict(c_pred),
             _dict(c_obj),
             # conv_id stays plain: it is a Ray-level groupby/sort key
             # downstream and Ray's sort does not implement dictionary keys
-            pa.array(c_conv, pa.string()),
-            pa.array(c_turn, pa.int32()),
-            pa.array(c_from, pa.int32()),
-            pa.array(c_to, pa.int32()),
+            conv_arr,
+            turn_arr,
+            from_arr,
+            to_arr,
             _dict(c_mt),
             _dict(c_text),
             pa.array(c_dist, pa.int32()),
