@@ -34,6 +34,20 @@ _CFG = PipelineConfig(batch_size=512, annotate_concurrency=2)
 # Annotate family — Ray side
 
 
+def _plain_strings(batch: pa.Table) -> pa.Table:
+    """Decode dictionary-encoded columns to plain strings at the driver
+    contract boundary — the pipeline keeps them encoded internally (3×
+    fewer shuffle bytes) but the oracle comparison should see the
+    canonical string schema."""
+    cols = []
+    for i, f in enumerate(batch.schema):
+        col = batch.column(i)
+        if pa.types.is_dictionary(f.type):
+            col = pc.cast(col, f.type.value_type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, names=batch.column_names)
+
+
 def _annotate_ds(sf_dir: str, opts: AnnotateOptions):
     import ray
 
@@ -41,7 +55,8 @@ def _annotate_ds(sf_dir: str, opts: AnnotateOptions):
     from .sources.transcripts import documents_as_transcripts
 
     ds = documents_as_transcripts(sf_dir, turns_per_conv=docdict.TURNS_PER_CONV)
-    return build_triples(ds, ray.put(docdict.state()), opts, _CFG)
+    triples = build_triples(ds, ray.put(docdict.state()), opts, _CFG)
+    return triples.map_batches(_plain_strings, batch_format="pyarrow")
 
 
 def _annotate_q(opts: AnnotateOptions) -> Callable[[str], Any]:
