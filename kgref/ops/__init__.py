@@ -5,7 +5,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 
 from __future__ import annotations
 
-from . import dedup, multimodal, similarity, textstats
+from . import dedup, events, multimodal, similarity, textstats
 
 
 def register_queries(q: dict) -> None:
@@ -13,9 +13,11 @@ def register_queries(q: dict) -> None:
     similarity.register(q)
     textstats.register(q)
     multimodal.register(q)
+    events.register(q)
 
 
 def register_oracles(o: dict) -> None:
     dedup.register({}, o)
     similarity.register({}, o)
     textstats.register({}, o)
+    events.register({}, o)

@@ -1,0 +1,121 @@
+"""Event-stream operators over the ``events`` table: tumbling-window
+aggregation and gap-based sessionization.
+
+The reference has no streaming features (SURVEY.md §2.9) — these are
+part of the beyond-the-reference training-data toolkit.  Both are batch
+re-expressions of streaming windows: event time lives in the data, so a
+tumbling window is a groupby on ``truncate(ts)`` and a session is a
+run-length encoding over per-user time-sorted events.  Partitioning
+follows the same coarse-partition rule as the dedup ops: the shuffle key
+is ``user_id % N_PARTS`` (~64 groups), and each partition is aggregated
+with ONE vectorized pandas pass — never one Python call per user or per
+window ([[kgref.ops.pairs]] rationale).
+
+At 10^12 events the same shape holds: sessionization needs all events
+of one user co-located and time-sorted, which the coarse partition
+provides; windows are pre-aggregated per batch before the exchange if
+the per-window row count is large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import round_half_up
+from .pairs import N_PARTS
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def _with_part(batch: pa.Table) -> pa.Table:
+    part = pc.cast(
+        pc.bit_wise_and(batch.column("user_id"), N_PARTS - 1), pa.int32())
+    return batch.append_column("part", part)
+
+
+def windowed_agg(sf_dir: str):
+    """Tumbling 1-hour window per user: event count + value sum.
+    ≙ ``GROUP BY user_id, date_trunc('hour', ts)``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["part"])
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = (df.groupby(["user_id", "window_start"], sort=False)
+             .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+             .reset_index())
+        g["sum_value"] = [round_half_up(x) for x in g["sum_value"]]
+        return g[["user_id", "window_start", "n_events", "sum_value"]]
+
+    return (ds.map_batches(_with_part, batch_format="pyarrow")
+            .groupby("part").map_groups(agg, batch_format="pandas"))
+
+
+def windowed_agg_sql() -> str:
+    return ("SELECT user_id, date_trunc('hour', ts) AS window_start,"
+            " count(*) AS n_events,"
+            " floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value"
+            " FROM events GROUP BY user_id, date_trunc('hour', ts)")
+
+
+def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S):
+    """Gap-based sessions: a new session starts when a user is idle
+    > gap_s.  session_id is the 1-based per-user session ordinal under
+    (ts, event_id) ordering — deterministic on ties."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["part"])
+              .sort_values(["user_id", "ts", "event_id"]))
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff().dt.total_seconds() > gap_s
+        session_break = new_user | gap
+        sid_global = session_break.cumsum()
+        # per-user 1-based ordinal
+        first_of_user = sid_global.where(new_user).ffill()
+        df["session_id"] = (sid_global - first_of_user + 1).astype(np.int64)
+        g = (df.groupby(["user_id", "session_id"], sort=False)
+             .agg(n_events=("event_id", "size"), start_ts=("ts", "min"),
+                  end_ts=("ts", "max"))
+             .reset_index())
+        return g[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
+
+    return (ds.map_batches(_with_part, batch_format="pyarrow")
+            .groupby("part").map_groups(sessions, batch_format="pandas"))
+
+
+def sessionize_sql(gap_s: int = SESSION_GAP_S) -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def register(q: dict, o: dict | None = None) -> None:
+    q["events_windowed"] = windowed_agg
+    q["events_sessions"] = sessionize
+    if o is not None:
+        o["events_windowed"] = windowed_agg_sql()
+        o["events_sessions"] = sessionize_sql()

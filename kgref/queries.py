@@ -77,6 +77,23 @@ def _conv_triple_counts(sf_dir: str):
     return t.groupby("conv_id").map_groups(agg, batch_format="pandas")
 
 
+def _conv_turns(sf_dir: str):
+    """Per-turn text-equality invariant (BASELINE.json input_hint): the
+    transcripts view reproduced per conversation under stable turn
+    ordering — every turn's text byte-identical to the source."""
+    import pandas as pd
+
+    from .sources.transcripts import documents_as_transcripts
+
+    ds = documents_as_transcripts(sf_dir,
+                                  turns_per_conv=docdict.TURNS_PER_CONV)
+
+    def order(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("turn_idx", kind="mergesort")
+
+    return ds.groupby("conv_id").map_groups(order, batch_format="pandas")
+
+
 def _conv_subgraph(sf_dir: str):
     """Flagship shape: annotate → groupby(conv) → stable order + dedup
     (the materialize stage's group fn, without the parquet sink)."""
@@ -292,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q[name] = _annotate_q(opts)
     for name, opts in ANNOTATE_ROWS_ONLY.items():
         q[name] = _annotate_q(opts)
+    q["conv_turns"] = _conv_turns
     q["conv_triple_counts"] = _conv_triple_counts
     q["conv_subgraph"] = _conv_subgraph
     q["events_agg"] = _events_agg
@@ -307,6 +325,12 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for name, opts in ANNOTATE_VARIANTS.items():
         o[name] = annotate_oracle_sql(opts)
+    tpc = docdict.TURNS_PER_CONV
+    o["conv_turns"] = (
+        f"SELECT 'conv-' || CAST(doc_id // {tpc} AS VARCHAR) AS conv_id,"
+        f" CAST(doc_id % {tpc} AS INTEGER) AS turn_idx, text"
+        f" FROM documents"
+    )
     base = annotate_oracle_sql(AnnotateOptions())
     o["conv_triple_counts"] = (
         f"SELECT conv_id, count(*) AS n_triples,"
