@@ -184,14 +184,14 @@ def annotate_rows(
 
     import pyarrow.compute as pc
 
-    conv_arr = pa.array(c_conv, pa.string())
+    conv_arr = pa.array(c_conv, pa.string()).dictionary_encode()
     turn_arr = pa.array(c_turn, pa.int32())
     from_arr = pa.array(c_from, pa.int32())
     to_arr = pa.array(c_to, pa.int32())
     # subj = "<conv>/<turn>/<from>-<to>", built with two vectorized joins
     subj_arr = pc.binary_join_element_wise(
         pc.binary_join_element_wise(
-            conv_arr, pc.cast(turn_arr, pa.string()),
+            pc.cast(conv_arr, pa.string()), pc.cast(turn_arr, pa.string()),
             pc.cast(from_arr, pa.string()), "/"),
         pc.cast(to_arr, pa.string()), "-")
 
@@ -200,8 +200,9 @@ def annotate_rows(
             subj_arr,
             _dict(c_pred),
             _dict(c_obj),
-            # conv_id stays plain: it is a Ray-level groupby/sort key
-            # downstream and Ray's sort does not implement dictionary keys
+            # conv_id is dictionary-encoded too — it is NEVER a Ray-level
+            # sort/groupby key inside the pipeline (the shuffle keys are
+            # int bucket/salt; driver-contract queries decode first)
             conv_arr,
             turn_arr,
             from_arr,

@@ -48,7 +48,10 @@ def add_bucket_column(batch: pa.Table, num_buckets: int,
     """Vectorized-ish deterministic bucket assignment: crc32 over the
     dictionary-encoded uniques (conv_ids repeat heavily within a block),
     then take — one Python call per UNIQUE conv, not per row."""
-    enc = pc.dictionary_encode(batch.column(col)).combine_chunks()
+    c = batch.column(col).combine_chunks()
+    if isinstance(c, pa.ChunkedArray):
+        c = c.chunk(0) if c.num_chunks else pa.array([], pa.string())
+    enc = c if pa.types.is_dictionary(c.type) else c.dictionary_encode()
     uniq = enc.dictionary.to_pylist()
     lut = pa.array([zlib.crc32(u.encode("utf-8")) % num_buckets for u in uniq],
                    pa.int32())
@@ -148,21 +151,43 @@ def _order_dedup(group: pd.DataFrame) -> pd.DataFrame:
     return group
 
 
-def _order_dedup_bucket(block: pd.DataFrame) -> pd.DataFrame:
+def _order_dedup_bucket(block: pd.DataFrame,
+                        stats_dir: str | None = None) -> pd.DataFrame:
     """O1 + U2 over one whole (bucket, salt) group — the vectorized form
     of ``_order_dedup``.  Exact because a bucket holds entire
-    conversations (bucket = crc32(conv_id) % B) and the dedup key
-    embeds subj (conv-scoped): one multi-key lexsort with conv_id
-    leading yields per-conv turn order, and keep='first' after the
-    distance-ascending sort keeps the min-distance row (A2).  32 groups
-    of ~N/B rows each beat ~#convs pandas calls by two orders of
-    magnitude at bench scale."""
+    conversations (bucket = crc32(conv_id) % B): one multi-key lexsort
+    with conv_id leading yields per-conv turn order, and keep='first'
+    after the distance-ascending sort keeps the min-distance row (A2).
+    ~B groups of ~N/B rows each beat ~#convs pandas calls by orders of
+    magnitude.
+
+    The ``subj`` column was dropped before the exchange (it is derivable
+    from conv/turn/span — no reason to shuffle ~25 redundant bytes/row);
+    it is re-derived vectorized here.  Per-group conversation stats are
+    written as sidecar JSONs (worker-side) so manifest finalization
+    never re-reads data columns on the driver."""
     block = block.sort_values(
         ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
          "match_type", "distance"],
     )
-    return block.drop_duplicates(subset=["subj", "pred", "obj", "match_type"],
-                                 keep="first")
+    block = block.drop_duplicates(
+        subset=["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
+                "match_type"],
+        keep="first")
+    conv = block["conv_id"].astype(str)
+    block.insert(0, "subj", conv + "/" + block["turn_idx"].astype(str) + "/"
+                 + block["from_1b"].astype(str) + "-"
+                 + block["to_1b"].astype(str))
+    if stats_dir is not None and len(block):
+        bid = int(block["bucket"].iloc[0])
+        salt = int(block["salt"].iloc[0])
+        stats = {"bucket": bid, "salt": salt, "rows": int(len(block)),
+                 "num_convs": int(conv.nunique())}
+        tmp = os.path.join(stats_dir, f".{bid}-{salt}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.rename(tmp, os.path.join(stats_dir, f"{bid}-{salt}.json"))
+    return block
 
 
 def materialize_conversations(
@@ -185,7 +210,17 @@ def materialize_conversations(
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
 
     B = cfg.num_buckets
-    salted = add_salt_column(triples, hot or {}, cfg.salt_chunk)
+    staging = os.path.join(out_dir, "_staging")
+    stats_dir = os.path.join(out_dir, "_convstats")
+    import shutil as _sh
+
+    _sh.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs(stats_dir, exist_ok=True)
+
+    # subj is derivable from (conv, turn, span) — don't ship ~25
+    # redundant bytes/row through the exchange; re-derived per bucket
+    salted = add_salt_column(triples.drop_columns(["subj"]), hot or {},
+                             cfg.salt_chunk)
     salted = salted.map_batches(lambda b: add_bucket_column(b, B),
                                 batch_format="pyarrow")
 
@@ -193,11 +228,11 @@ def materialize_conversations(
     # additionally split by range-salt), then ONE vectorized sort+dedup
     # per group — not one pandas call per conversation.
     grouped = salted.groupby(["bucket", "salt"]).map_groups(
-        _order_dedup_bucket, batch_format="pandas"
+        lambda df: _order_dedup_bucket(df, stats_dir),
+        batch_format="pandas",
     )
     grouped = grouped.drop_columns(["salt"])
 
-    staging = os.path.join(out_dir, "_staging")
     grouped.write_parquet(staging, partition_cols=["bucket"])
     if _dbg:
         print(f"[materialize] shuffle+write {time.time() - t0:.1f}s",
@@ -212,6 +247,20 @@ def materialize_conversations(
     ) if os.path.isdir(staging) else []
     metrics = {"buckets": 0, "rows": 0, "wall_sec": 0.0}
 
+    # worker-side sidecars → per-bucket stats without re-reading data
+    bucket_stats: dict[int, dict] = {}
+    for f in os.listdir(stats_dir):
+        if f.endswith(".json") and not f.startswith("."):
+            s = json.load(open(os.path.join(stats_dir, f)))
+            agg = bucket_stats.setdefault(s["bucket"],
+                                          {"rows": 0, "num_convs": 0,
+                                           "salt_groups": 0})
+            agg["rows"] += s["rows"]
+            # per-salt nunique; exact unless a hot conv spans salts, in
+            # which case this is an upper bound (documented)
+            agg["num_convs"] += s["num_convs"]
+            agg["salt_groups"] += 1
+
     def _finalize_bucket(d: str) -> tuple[int, int]:
         bid = int(d.split("=")[1])
         src = os.path.join(staging, d)
@@ -222,17 +271,15 @@ def materialize_conversations(
             shutil.rmtree(dst)
         os.rename(src, dst)
         rows = 0
-        convs = set()
         for f in os.listdir(dst):
             if f.endswith(".parquet"):
-                md = pq.read_metadata(os.path.join(dst, f))
-                rows += md.num_rows
-                t = pq.read_table(os.path.join(dst, f), columns=["conv_id"])
-                convs.update(pc.unique(t.column("conv_id")).to_pylist())
+                rows += pq.read_metadata(os.path.join(dst, f)).num_rows
+        st = bucket_stats.get(bid, {})
         manifest = {
             "bucket": bid,
             "rows": rows,
-            "num_convs": len(convs),
+            "num_convs": st.get("num_convs", 0),
+            "salt_groups": st.get("salt_groups", 0),
             "completed_at": time.time(),
             "lineage": lineage or {},
         }
@@ -256,5 +303,6 @@ def materialize_conversations(
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+    _sh.rmtree(stats_dir, ignore_errors=True)
     metrics["wall_sec"] = round(time.time() - t0, 3)
     return metrics
