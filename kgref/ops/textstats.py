@@ -41,6 +41,13 @@ def _tokens_column(batch: pa.Table) -> pa.ListArray:
 # ---------------------------------------------------------------------------
 
 
+# BPE-ish piece pattern (GPT-2-style word/number/other pieces with a
+# leading-space convention); deliberately RE2-compatible so the DuckDB
+# oracle runs the identical pattern
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
+_BPE_RE = None
+
+
 def token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -48,14 +55,23 @@ def token_stats(sf_dir: str):
                          columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
+        global _BPE_RE
+        if _BPE_RE is None:  # compiled once per worker process
+            import re
+
+            _BPE_RE = re.compile(BPE_PATTERN)
         toks = _tokens_column(batch)
         n_tok = pc.cast(pc.list_value_length(toks), pa.int32())
         n_distinct = pa.array(
             [len(set(row)) for row in toks.to_pylist()], pa.int32()
         )
+        n_bpe = pa.array(
+            [len(_BPE_RE.findall(t))
+             for t in batch.column("text").to_pylist()], pa.int32()
+        )
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), n_tok, n_distinct],
-            names=["doc_id", "n_tokens", "n_distinct"],
+            [batch.column("doc_id"), n_tok, n_distinct, n_bpe],
+            names=["doc_id", "n_tokens", "n_distinct", "n_bpe_tokens"],
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
@@ -65,7 +81,9 @@ def token_stats_sql() -> str:
     return ("SELECT doc_id,"
             " CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,"
             " CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)"
-            " AS n_distinct FROM documents")
+            " AS n_distinct,"
+            f" CAST(len(regexp_extract_all(text, '{BPE_PATTERN}'))"
+            " AS INTEGER) AS n_bpe_tokens FROM documents")
 
 
 # ---------------------------------------------------------------------------

@@ -151,13 +151,21 @@ def annotate_oracle_sql(opts: AnnotateOptions) -> str:
         )
     cls_where = (" WHERE " + " AND ".join(cls_conds)) if cls_conds else ""
 
+    base_expr = "CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
     if opts.score == "old":
-        d_score = ("round(CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
-                   ", 4)")
-        h_score = ("round(CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
-                   " * power(0.8, MIN(clo.distance)), 4)")
-        m_score = ("round(CASE b.match_type WHEN 'PREF' THEN 10.0 ELSE 8.0 END"
-                   " * 0.7, 4)")
+        d_score = f"round({base_expr}, 4)"
+        h_score = f"round({base_expr} * power(0.8, MIN(clo.distance)), 4)"
+        m_score = f"round({base_expr} * 0.7, 4)"
+    elif opts.score in ("cvalue", "cvalueh"):
+        # C-Value-ish: (1 + log2(max(2, #term words))) × per-turn count of
+        # the matched surface over direct annotations (window in base)
+        cv = ("(1 + log2(greatest(2, len(string_split(b.term, ' ')))))"
+              " * b.cnt")
+        if opts.score == "cvalueh":
+            cv = f"({cv}) * ({base_expr} / 10.0)"
+        d_score = f"round({cv}, 4)"
+        h_score = f"round(round({cv}, 4) * power(0.8, MIN(clo.distance)), 4)"
+        m_score = f"round(round({cv}, 4) * 0.7, 4)"
     else:
         d_score = h_score = m_score = "0.0"
 
@@ -181,7 +189,7 @@ def annotate_oracle_sql(opts: AnnotateOptions) -> str:
          clo.ancestor_uri, MIN(clo.distance) AS distance, {h_score} AS score
   FROM base b JOIN clo ON clo.class_uri = b.class_uri AND clo.distance <= {K}
   GROUP BY b.conv_id, b.turn_idx, b.from_1b, b.to_1b, b.match_type, b.term,
-           clo.ancestor_uri)""")
+           b.cnt, clo.ancestor_uri)""")
         parts.append(f"""hier_t AS (
   SELECT {subj} AS subj, 'isa_closure' AS pred, b.ancestor_uri AS obj,
          b.conv_id, b.turn_idx, b.from_1b, b.to_1b, b.match_type,
@@ -231,7 +239,8 @@ direct AS (
   FROM raw r JOIN labels l USING (term_id){cls_where}),
 base AS (
   SELECT 'conv-' || CAST(doc_id // {tpc} AS VARCHAR) AS conv_id,
-         CAST(doc_id % {tpc} AS INTEGER) AS turn_idx, d.*
+         CAST(doc_id % {tpc} AS INTEGER) AS turn_idx, d.*,
+         count(*) OVER (PARTITION BY d.doc_id, d.term) AS cnt
   FROM direct d),
 {",".join(parts)}
 SELECT subj, pred, obj, conv_id, turn_idx, from_1b, to_1b, match_type,
@@ -255,12 +264,14 @@ ANNOTATE_VARIANTS: dict[str, AnnotateOptions] = {
     "annotate_longest": AnnotateOptions(longest_only=True),
     "annotate_score_old": AnnotateOptions(score="old",
                                           expand_hierarchy_levels=2),
+    "annotate_score_cvalue": AnnotateOptions(score="cvalue"),
+    "annotate_score_cvalueh": AnnotateOptions(score="cvalueh",
+                                              expand_hierarchy_levels=2),
 }
 
 # non-SQL-expressible variants → rows-only checks
 ANNOTATE_ROWS_ONLY: dict[str, AnnotateOptions] = {
     "annotate_subword": AnnotateOptions(whole_word_only=False),
-    "annotate_score_cvalue": AnnotateOptions(score="cvalue"),
 }
 
 

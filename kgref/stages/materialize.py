@@ -151,43 +151,76 @@ def _order_dedup(group: pd.DataFrame) -> pd.DataFrame:
     return group
 
 
-def _order_dedup_bucket(block: pd.DataFrame,
-                        stats_dir: str | None = None) -> pd.DataFrame:
-    """O1 + U2 over one whole (bucket, salt) group — the vectorized form
-    of ``_order_dedup``.  Exact because a bucket holds entire
-    conversations (bucket = crc32(conv_id) % B): one multi-key lexsort
-    with conv_id leading yields per-conv turn order, and keep='first'
-    after the distance-ascending sort keeps the min-distance row (A2).
-    ~B groups of ~N/B rows each beat ~#convs pandas calls by orders of
-    magnitude.
+def _key_codes(t: pa.Table, name: str) -> pa.Array:
+    """Int sort/dedup codes for a column: dictionary indices for
+    dict-encoded columns (deterministic within the unified table; code
+    order ≠ lexicographic, which only affects tie-break order among
+    rows with identical span+distance — per-conv turn ordering is
+    governed by the preceding int keys), the column itself otherwise."""
+    col = t.column(name)
+    if pa.types.is_dictionary(col.type):
+        return pc.cast(col.combine_chunks().indices, pa.int32())
+    return col
 
-    The ``subj`` column was dropped before the exchange (it is derivable
-    from conv/turn/span — no reason to shuffle ~25 redundant bytes/row);
-    it is re-derived vectorized here.  Per-group conversation stats are
-    written as sidecar JSONs (worker-side) so manifest finalization
+
+def _order_dedup_bucket(t: pa.Table,
+                        stats_dir: str | None = None) -> pa.Table:
+    """O1 + U2 over one whole (bucket, salt) group — all Arrow C
+    kernels, no per-row Python.  Exact because a bucket holds entire
+    conversations (bucket = crc32(conv_id) % B): a multi-key sort with
+    conv_id leading yields per-conv turn order, and keep-first after the
+    distance-ascending sort keeps the min-distance row (A2).
+
+    ``subj`` was dropped before the exchange (derivable from
+    conv/turn/span — no reason to shuffle ~25 redundant bytes/row) and
+    is re-derived here with vectorized joins.  Per-group conversation
+    stats go to sidecar JSONs (worker-side) so manifest finalization
     never re-reads data columns on the driver."""
-    block = block.sort_values(
-        ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
-         "match_type", "distance"],
+    t = t.unify_dictionaries()
+    key_names = ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
+                 "match_type"]
+    keys = pa.Table.from_arrays(
+        [_key_codes(t, n) for n in key_names] + [t.column("distance")],
+        names=[f"k{i}" for i in range(len(key_names))] + ["k_dist"],
     )
-    block = block.drop_duplicates(
-        subset=["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
-                "match_type"],
-        keep="first")
-    conv = block["conv_id"].astype(str)
-    block.insert(0, "subj", conv + "/" + block["turn_idx"].astype(str) + "/"
-                 + block["from_1b"].astype(str) + "-"
-                 + block["to_1b"].astype(str))
-    if stats_dir is not None and len(block):
-        bid = int(block["bucket"].iloc[0])
-        salt = int(block["salt"].iloc[0])
-        stats = {"bucket": bid, "salt": salt, "rows": int(len(block)),
-                 "num_convs": int(conv.nunique())}
+    order = pc.sort_indices(
+        keys, sort_keys=[(f"k{i}", "ascending")
+                         for i in range(len(key_names))] + [("k_dist",
+                                                             "ascending")])
+    t = t.take(order)
+    keys = keys.take(order)
+    # keep-first dedup on the 7-part key: a sorted row survives iff any
+    # key column differs from the previous row (vectorized neighbor diff)
+    n = t.num_rows
+    if n > 1:
+        import numpy as np
+
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = True
+        for i in range(len(key_names)):
+            col = keys.column(f"k{i}").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            np.logical_or(keep[1:], col[1:] != col[:-1], out=keep[1:])
+        t = t.filter(pa.array(keep))
+
+    conv_str = pc.cast(t.column("conv_id"), pa.string())
+    subj = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(
+            conv_str, pc.cast(t.column("turn_idx"), pa.string()),
+            pc.cast(t.column("from_1b"), pa.string()), "/"),
+        pc.cast(t.column("to_1b"), pa.string()), "-")
+    t = t.add_column(0, "subj", subj)
+
+    if stats_dir is not None and t.num_rows:
+        bid = int(t.column("bucket")[0].as_py())
+        salt = int(t.column("salt")[0].as_py())
+        stats = {"bucket": bid, "salt": salt, "rows": int(t.num_rows),
+                 "num_convs": int(pc.count_distinct(conv_str).as_py())}
         tmp = os.path.join(stats_dir, f".{bid}-{salt}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(stats, fh)
         os.rename(tmp, os.path.join(stats_dir, f"{bid}-{salt}.json"))
-    return block
+    return t
 
 
 def materialize_conversations(
@@ -228,8 +261,8 @@ def materialize_conversations(
     # additionally split by range-salt), then ONE vectorized sort+dedup
     # per group — not one pandas call per conversation.
     grouped = salted.groupby(["bucket", "salt"]).map_groups(
-        lambda df: _order_dedup_bucket(df, stats_dir),
-        batch_format="pandas",
+        lambda t: _order_dedup_bucket(t, stats_dir),
+        batch_format="pyarrow",
     )
     grouped = grouped.drop_columns(["salt"])
 
