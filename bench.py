@@ -76,7 +76,7 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
     out_dir = "/tmp/kgref_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = PipelineConfig(
-        num_buckets=32,
+        num_buckets=128,
         # batch_size counts INPUT rows of the fused stage = pre-replication
         # docs; divide by REPLICATE so each actor task still processes
         # ~1024 turns (otherwise the whole corpus bundles into ~5 tasks)
