@@ -66,23 +66,23 @@ def run_pipeline(
     opts: AnnotateOptions | None = None,
     cfg: PipelineConfig | None = None,
 ) -> dict:
-    """Full job: returns the materialization metrics dict.  Rerunning
-    after a partial failure skips buckets with a manifest (resume)."""
+    """Full job: returns the materialization metrics dict.
+
+    Checkpointing: buckets are processed in ``cfg.waves`` sequential
+    waves; a wave's bucket manifests land as soon as it finishes, so a
+    crash loses at most the in-flight wave.  Rerunning with the same
+    ``out_dir`` skips every manifested bucket BEFORE the annotate stage
+    runs — both across reruns and across waves."""
     cfg = cfg or PipelineConfig()
     opts = opts or cfg.options
 
     state = DictionaryState.from_dir(dict_dir)
     state_ref = ray.put(state)
 
-    transcripts = read_transcripts(transcripts_path)
-    transcripts = filter_done_buckets(transcripts, out_dir, cfg.num_buckets)
-
     # O3 skew pre-pass on the cheap side (input conv_id column only)
     hot = hot_conversations(read_transcripts(transcripts_path,
                                              columns=["conv_id"]),
                             cfg.hot_conv_rows)
-
-    triples = build_triples(transcripts, state_ref, opts, cfg)
 
     lineage = {
         "input": transcripts_path if isinstance(transcripts_path, str)
@@ -93,5 +93,24 @@ def run_pipeline(
         "num_buckets": cfg.num_buckets,
         "hot_convs": len(hot),
     }
-    return materialize_conversations(triples, out_dir, cfg, hot=hot,
-                                     lineage=lineage)
+
+    from ..stages.materialize import done_buckets, filter_to_buckets
+
+    B = cfg.num_buckets
+    waves = max(1, min(cfg.waves, B))
+    totals = {"buckets": 0, "rows": 0, "wall_sec": 0.0}
+    for w in range(waves):
+        wave_buckets = {b for b in range(B)
+                        if b % waves == w} - done_buckets(out_dir)
+        if not wave_buckets:
+            continue
+        transcripts = read_transcripts(transcripts_path)
+        if len(wave_buckets) < B:
+            transcripts = filter_to_buckets(transcripts, wave_buckets, B)
+        triples = build_triples(transcripts, state_ref, opts, cfg)
+        m = materialize_conversations(triples, out_dir, cfg, hot=hot,
+                                      lineage=dict(lineage, wave=w))
+        totals["buckets"] += m["buckets"]
+        totals["rows"] += m["rows"]
+        totals["wall_sec"] = round(totals["wall_sec"] + m["wall_sec"], 3)
+    return totals

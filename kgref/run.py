@@ -31,6 +31,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="dictionary snapshot dir (classes/labels/… parquet)")
     p.add_argument("--out", required=True, help="output dir (resumable)")
     p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--waves", type=int, default=1,
+                   help="checkpoint waves: crash loses at most 1/waves")
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--concurrency", type=int, default=0,
                    help="annotate actor pool size (0 = cpus-2)")
@@ -85,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         dict_dir=args.dict_dir,
         out_dir=args.out,
         num_buckets=args.num_buckets,
+        waves=args.waves,
         batch_size=args.batch_size,
         annotate_concurrency=args.concurrency or max(2, ncpu - 2),
         hot_conv_rows=args.hot_conv_rows,

@@ -206,6 +206,12 @@ class PipelineConfig:
     dict_dir: str = ""  # directory with classes/labels/... parquet
     out_dir: str = "/tmp/kgref-out"
     num_buckets: int = 64  # output partitioning: hash(conv_id) % B
+    waves: int = 1  # checkpoint granularity: buckets are processed in
+    # `waves` sequential waves; each wave's manifests land before the
+    # next starts, so a crash loses at most 1/waves of the run.  Tradeoff:
+    # each wave restarts the annotate actor pool (~seconds) and re-scans
+    # the (column-pruned) input — noise at cluster scale, so jobs at
+    # 10^12 turns should run waves ≫ 1; local benches keep 1.
     batch_size: int = 1024  # rows per matcher batch (match fan-out aware)
     annotate_concurrency: int | tuple[int, int] = 4  # actor pool size
     hot_conv_rows: int = 50_000  # salting threshold (triples per conv)

@@ -77,14 +77,23 @@ def filter_done_buckets(ds: rd.Dataset, out_dir: str, num_buckets: int,
     done = done_buckets(out_dir)
     if not done:
         return ds
-    done_arr = pa.array(sorted(done), pa.int32())
+    return filter_to_buckets(
+        ds, set(range(num_buckets)) - done, num_buckets, conv_col)
 
-    def drop(batch: pa.Table) -> pa.Table:
+
+def filter_to_buckets(ds: rd.Dataset, keep_buckets: set[int],
+                      num_buckets: int,
+                      conv_col: str = "conv_id") -> rd.Dataset:
+    """Keep only rows whose conv bucket ∈ keep_buckets (wave/resume
+    filter — runs on the column-pruned input, before annotate)."""
+    keep_arr = pa.array(sorted(keep_buckets), pa.int32())
+
+    def keep(batch: pa.Table) -> pa.Table:
         b = add_bucket_column(batch, num_buckets, conv_col)
-        keep = pc.invert(pc.is_in(b.column("bucket"), value_set=done_arr))
-        return batch.filter(keep)
+        return batch.filter(pc.is_in(b.column("bucket"),
+                                     value_set=keep_arr))
 
-    return ds.map_batches(drop, batch_format="pyarrow")
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

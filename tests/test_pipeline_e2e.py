@@ -122,3 +122,23 @@ def test_salting_was_exercised(run, fixture_bundle):
     for cid in t.column("conv_id").to_pylist():
         counts[cid] = counts.get(cid, 0) + 1
     assert max(counts.values()) > 100  # a hot conv produced >100 triples
+
+
+def test_waves_produce_identical_output(run, fixture_bundle,
+                                        tmp_path_factory):
+    """cfg.waves=4 (checkpoint granularity) yields the same triple set
+    as the single-wave run, with per-wave lineage in the manifests."""
+    import dataclasses
+
+    out_dir, _ = run
+    want = triple_set(read_output(out_dir))
+    wave_out = str(tmp_path_factory.mktemp("e2e_waves"))
+    cfg = dataclasses.replace(CFG, waves=4)
+    metrics = run_pipeline(fixture_bundle["transcripts_dir"],
+                           fixture_bundle["dict_dir"], wave_out, OPTS, cfg)
+    assert metrics["buckets"] == CFG.num_buckets
+    assert triple_set(read_output(wave_out)) == want
+    waves_seen = set()
+    for mf in glob.glob(os.path.join(wave_out, "_manifest", "bucket-*.json")):
+        waves_seen.add(json.load(open(mf))["lineage"]["wave"])
+    assert waves_seen == {0, 1, 2, 3}
