@@ -69,6 +69,11 @@ CLASS_DEFS = [
     ("Small", "DOC", "small", [], ["T_MISC"], [], ""),
     ("Fast", "DOC", "fast", [], ["T_MISC"], [], ""),
     ("Slow", "DOC", "slow", [], ["T_MISC"], [], ""),
+    # sub-token-only surfaces: "tab" occurs inside "table", "ream" inside
+    # "stream" — matched ONLY when whole_word_only=False (M3); inert for
+    # every whole-word variant since no standalone token has them
+    ("Tab", "DOC", "tab", [], ["T_MISC"], [], ""),
+    ("Ream", "DOC", "ream", [], ["T_MISC"], [], ""),
     # --- ALT ontology (mapping targets + a shared surface) ----------------
     ("AltSpark", "ALT", "spark", [], ["T_SYS"], [], ""),  # same surface, 2nd ont
     ("Junction", "ALT", "junction", [], ["T_OP"], [], ""),

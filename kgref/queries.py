@@ -211,16 +211,11 @@ def annotate_oracle_sql(opts: AnnotateOptions) -> str:
   JOIN cls c ON c.class_uri = m.mapped_class_uri)""")
         sel.append("SELECT * FROM map_t")
 
-    union = " UNION ALL ".join(sel)
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    if opts.whole_word_only:
+        # token-window matching: positions are word indices
+        match_ctes = """
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t),
-{docdict.sql_dict_cte()},
-{docdict.sql_labels_cte()},
-{docdict.sql_classes_cte()},
-{docdict.sql_semtypes_cte()},
-{docdict.sql_closure_cte()},
-{docdict.sql_mappings_cte()},
 raw0 AS (
   SELECT doc_id, term_id, term,
     CAST(CASE WHEN p = 1 THEN 1
@@ -230,7 +225,27 @@ raw0 AS (
          ELSE length(array_to_string(list_slice(w, 1, p - 1), ' ')) + 2
          END + length(term) - 1 AS INTEGER) AS to_1b
   FROM tok JOIN dict ON p + ntok - 1 <= len(w)
-   AND array_to_string(list_slice(w, p, p + ntok - 1), ' ') = term),
+   AND array_to_string(list_slice(w, p, p + ntok - 1), ' ') = term)"""
+    else:
+        # sub-token matching (mgrep longword=N): enumerate every CHAR
+        # position — matches may start/end mid-token
+        match_ctes = """
+cpos AS (SELECT doc_id, text,
+                unnest(generate_series(1, length(text))) AS p
+         FROM documents),
+raw0 AS (
+  SELECT doc_id, term_id, term, CAST(p AS INTEGER) AS from_1b,
+         CAST(p + length(term) - 1 AS INTEGER) AS to_1b
+  FROM cpos JOIN dict ON substr(text, p, length(term)) = term)"""
+
+    union = " UNION ALL ".join(sel)
+    return f"""
+WITH {docdict.sql_dict_cte()},
+{docdict.sql_labels_cte()},
+{docdict.sql_classes_cte()},
+{docdict.sql_semtypes_cte()},
+{docdict.sql_closure_cte()},
+{docdict.sql_mappings_cte()},{match_ctes},
 {raw1},
 raw AS (SELECT * FROM raw1{raw_where}),
 direct AS (
@@ -267,12 +282,11 @@ ANNOTATE_VARIANTS: dict[str, AnnotateOptions] = {
     "annotate_score_cvalue": AnnotateOptions(score="cvalue"),
     "annotate_score_cvalueh": AnnotateOptions(score="cvalueh",
                                               expand_hierarchy_levels=2),
+    "annotate_subword": AnnotateOptions(whole_word_only=False),
 }
 
 # non-SQL-expressible variants → rows-only checks
-ANNOTATE_ROWS_ONLY: dict[str, AnnotateOptions] = {
-    "annotate_subword": AnnotateOptions(whole_word_only=False),
-}
+ANNOTATE_ROWS_ONLY: dict[str, AnnotateOptions] = {}
 
 
 # ---------------------------------------------------------------------------
