@@ -5,7 +5,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 
 from __future__ import annotations
 
-from . import dedup, events, multimodal, similarity, textstats
+from . import dedup, events, multimodal, relational, similarity, textstats
 
 
 def register_queries(q: dict) -> None:
@@ -14,6 +14,7 @@ def register_queries(q: dict) -> None:
     textstats.register(q)
     multimodal.register(q)
     events.register(q)
+    relational.register(q)
 
 
 def register_oracles(o: dict) -> None:
@@ -21,3 +22,4 @@ def register_oracles(o: dict) -> None:
     similarity.register({}, o)
     textstats.register({}, o)
     events.register({}, o)
+    relational.register({}, o)

@@ -1,0 +1,171 @@
+"""Relational operator demonstrations over the TPC-H-ish star schema:
+read-pruned filtered aggregation and joins (broadcast and shuffle).
+
+These exist to round out the engine surface beyond the annotator
+(SURVEY.md §2.8, "prune at the read", §2.4 join taxonomy):
+
+- ``lineitem_pricing``: TPC-H-Q1-shaped — the parquet read carries BOTH
+  a column projection and a row-filter expression, so only the needed
+  columns/row-groups leave storage; per-group stats via one small
+  native groupby (6 groups).
+- ``orders_by_segment``: fact×dimension — the DIMENSION (customer) is
+  broadcast (``ray.put`` of a key→segment dict) and mapped over order
+  batches: the correct join shape when one side is dimension-sized.
+- ``nation_orders_join``: Ray's native ``Dataset.join`` (hash shuffle
+  join, Ray ≥2.46) exercised on customer⋈orders — the path for genuine
+  large×large joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import round_half_up
+
+SHIP_CUTOFF = "1998-09-02"
+
+
+def lineitem_pricing(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate")
+                <= pa.scalar(np.datetime64(SHIP_CUTOFF, "us"))),
+    )
+    out = (
+        ds.drop_columns(["l_shipdate"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Sum("l_extendedprice", alias_name="sum_base_price"),
+                   Mean("l_discount", alias_name="avg_disc"),
+                   Count(alias_name="count_order"))
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if name in ("sum_qty", "sum_base_price", "avg_disc"):
+                col = pa.array([round_half_up(x) for x in
+                                col.to_pylist()], pa.float64())
+            cols[name] = col
+        return pa.Table.from_arrays(list(cols.values()),
+                                    names=list(cols.keys()))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def lineitem_pricing_sql() -> str:
+    r = "floor({} * 10000 + 0.5) / 10000"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {r.format('sum(l_quantity)')} AS sum_qty,
+       {r.format('sum(l_extendedprice)')} AS sum_base_price,
+       {r.format('avg(l_discount)')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast dimension join: customer segment dict via ray.put, one
+    lookup per order batch — no shuffle for a fact×dimension join."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+    ref = ray.put(seg_of)
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.seg_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg_of.get(k, "") for k in
+                    batch.column("o_custkey").to_pylist()]
+            return pa.Table.from_arrays(
+                [pa.array(segs, pa.string()),
+                 batch.column("o_totalprice")],
+                names=["segment", "o_totalprice"])
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    joined = ds.map_batches(AttachSegment, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", concurrency=2)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("segment", sort=False)["o_totalprice"]
+             .agg(n_orders="size", total="sum").reset_index())
+        g["total"] = [round_half_up(x) for x in g["total"]]
+        return g
+
+    # 5 segments → single partition is fine; keep the coarse pattern
+    return joined.map_batches(
+        lambda b: b.append_column("part", pa.array([0] * len(b),
+                                                   pa.int32())),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        lambda df: agg(df.drop(columns=["part"])), batch_format="pandas")
+
+
+def orders_by_segment_sql() -> str:
+    return ("SELECT c.c_mktsegment AS segment, count(*) AS n_orders,"
+            " floor(sum(o.o_totalprice) * 10000 + 0.5) / 10000 AS total"
+            " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+            " GROUP BY c.c_mktsegment")
+
+
+def nation_orders_join(sf_dir: str):
+    """Ray native hash join (Dataset.join): customer⋈orders shuffled on
+    custkey, then per-nation order counts — the large×large join path."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("c_nationkey", sort=False)["o_orderkey"]
+                .agg(n_orders="size").reset_index()
+                .rename(columns={"c_nationkey": "nationkey"}))
+
+    return joined.map_batches(
+        lambda b: b.append_column("part",
+                                  pc.cast(pc.bit_wise_and(
+                                      b.column("c_nationkey"), 15),
+                                      pa.int32())),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        lambda df: agg(df.drop(columns=["part"])), batch_format="pandas")
+
+
+def nation_orders_join_sql() -> str:
+    return ("SELECT c.c_nationkey AS nationkey, count(*) AS n_orders"
+            " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+            " GROUP BY c.c_nationkey")
+
+
+def register(q: dict, o: dict | None = None) -> None:
+    q["lineitem_pricing"] = lineitem_pricing
+    q["orders_by_segment"] = orders_by_segment
+    q["nation_orders_join"] = nation_orders_join
+    if o is not None:
+        o["lineitem_pricing"] = lineitem_pricing_sql()
+        o["orders_by_segment"] = orders_by_segment_sql()
+        o["nation_orders_join"] = nation_orders_join_sql()
