@@ -40,6 +40,7 @@ import pyarrow as pa
 
 TOKEN_RE = re.compile(r"[A-Z0-9_]+")
 _NUMERIC_RE = re.compile(r"[0-9]+\Z")
+_WORD_CHARS = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 
 @dataclass(frozen=True)
@@ -63,19 +64,32 @@ class TermDictionary:
 
     def __init__(self, term_ids_by_norm: dict[str, int]):
         self.term_ids_by_norm = term_ids_by_norm
-        # token-window index structures (whole-word path)
+        # token-window index structures (whole-word path).  The window
+        # scan can only find matches that START and END on token
+        # boundaries — exactly the whole-word semantics for terms whose
+        # edge chars are word chars.  Terms with a NON-word edge char
+        # (e.g. "C++", "+5") have no boundary requirement on that edge
+        # (mgrep/oracle semantics: the boundary check applies per edge
+        # only when the term edge is a word char) and are matched by a
+        # dedicated Aho–Corasick pass with per-edge checks instead.
         self._first_tokens: dict[str, int] = {}  # first token -> max #tokens
         self._max_term_len = 0
-        for term in term_ids_by_norm:
-            toks = TOKEN_RE.findall(term)
-            if not toks:  # term with no word chars cannot whole-word match
+        self._irregular: dict[str, int] = {}
+        word = _WORD_CHARS
+        for term, tid in term_ids_by_norm.items():
+            if not term:
                 continue
+            if term[0] not in word or term[-1] not in word:
+                self._irregular[term] = tid
+                continue
+            toks = TOKEN_RE.findall(term)
             prev = self._first_tokens.get(toks[0], 0)
             if len(toks) > prev:
                 self._first_tokens[toks[0]] = len(toks)
             if len(term) > self._max_term_len:
                 self._max_term_len = len(term)
         self._ac: _AhoCorasick | None = None  # lazy (subword path only)
+        self._irregular_ac: _AhoCorasick | None = None  # lazy
 
     @classmethod
     def from_labels_table(cls, labels: pa.Table) -> "TermDictionary":
@@ -104,6 +118,25 @@ class TermDictionary:
                 tid = index.get(utext[s:e])
                 if tid is not None:
                     out.append(RawMatch(tid, s, e))
+        if self._irregular:
+            out.extend(self._match_irregular(utext))
+        return out
+
+    def _match_irregular(self, utext: str) -> list[RawMatch]:
+        """Non-word-edged terms: AC scan + per-edge boundary checks."""
+        if self._irregular_ac is None:
+            self._irregular_ac = _AhoCorasick(self._irregular)
+        word = _WORD_CHARS
+        out = []
+        for m in self._irregular_ac.search(utext):
+            term = utext[m.start0 : m.end0]
+            if (term[0] in word and m.start0 > 0
+                    and utext[m.start0 - 1] in word):
+                continue
+            if (term[-1] in word and m.end0 < len(utext)
+                    and utext[m.end0] in word):
+                continue
+            out.append(m)
         return out
 
     # -- sub-token matching (whole_word_only=False; mgrep longword=N) ------

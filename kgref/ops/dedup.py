@@ -17,10 +17,11 @@ band signature, simhash chunk) — never on raw text:
 - embedding:    cosine ≥ τ near-dup pairs (see similarity.py for the
                 broadcast-matmul kernel)
 
-Scale notes: per-shingle pair emission is quadratic in group size —
-hot-shingle groups are capped (``MAX_GROUP``), which is exactly why the
-MinHash path exists; caps are logged in the output manifest column
-``capped`` rather than silently dropped.
+Scale notes: per-shingle pair emission is quadratic in group size.
+The EXACT Jaccard path is uncapped (its contract is exactness; at a
+scale where hot-shingle fan-out is unaffordable you switch to the
+MinHash path, whose candidate buckets ARE capped at ``MAX_GROUP`` —
+a recall/cost tradeoff inherent to LSH, not a silent correctness drop).
 """
 
 from __future__ import annotations
@@ -55,7 +56,9 @@ def round_half_up(x: float, digits: int = 4) -> float:
 def _token_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
     toks = text.split(" ")
     if len(toks) < k:
-        return {" ".join(toks)} if toks != [""] else set()
+        # one whole-text shingle, INCLUDING '' for empty text (parity
+        # with the SQL oracle, where string_split('') yields [''])
+        return {" ".join(toks)}
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
@@ -141,7 +144,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     shingles = ds.map_batches(_shingle_rows, batch_format="pyarrow")
-    pairs = keyed_pairs(shingles, ["n_doc"], MAX_GROUP)
+    pairs = keyed_pairs(shingles, ["n_doc"], None)  # exact: no cap
 
     def jaccard(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["doc_a", "doc_b"], sort=False).agg(

@@ -10,10 +10,9 @@ pair inside a group with one numpy pass over sorted runs.
 
 The shuffle therefore moves (int64 key, int64 doc_id, payload) — never
 shingle strings — and the per-group work is O(rows + pairs) vectorized.
-Hot keys are capped at ``max_group`` docs (sorted doc_id order, so the
-cap is deterministic); the cap count is reported by the caller, not
-silently dropped semantics: pairs beyond the cap are the ones a real
-pipeline hands to the MinHash path.
+``max_group`` (deterministic prefix of a run in sorted doc_id order)
+caps hot-key fan-out for the APPROXIMATE paths (MinHash/SimHash
+candidate buckets); exact paths must pass None — see pairs_in_runs.
 """
 
 from __future__ import annotations
@@ -24,10 +23,14 @@ import pandas as pd
 N_PARTS = 64
 
 
-def pairs_in_runs(keys: np.ndarray, max_group: int) -> tuple[np.ndarray, np.ndarray]:
+def pairs_in_runs(keys: np.ndarray,
+                  max_group: int | None) -> tuple[np.ndarray, np.ndarray]:
     """Given a SORTED int64 key array, return index pairs (ia, ib) with
-    ia < ib and keys[ia] == keys[ib], capping each run at max_group
-    elements.  Pure numpy, no per-run Python loop."""
+    ia < ib and keys[ia] == keys[ib].  ``max_group`` caps each run
+    (deterministic prefix by the caller's sort order); pass None for
+    EXACT pair generation — mandatory when the result must match an
+    exact oracle (capping silently undercounts co-occurrences).  Pure
+    numpy, no per-run Python loop."""
     n = len(keys)
     if n < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -38,9 +41,8 @@ def pairs_in_runs(keys: np.ndarray, max_group: int) -> tuple[np.ndarray, np.ndar
     starts = np.flatnonzero(new_run)
     # position of each element within its run
     pos = np.arange(n, dtype=np.int64) - starts[run_ids]
-    keep = pos < max_group
-    if not keep.all():
-        idx = np.flatnonzero(keep)
+    if max_group is not None and (pos >= max_group).any():
+        idx = np.flatnonzero(pos < max_group)
         keys = keys[idx]
         return tuple(idx[a] for a in pairs_in_runs(keys, max_group))
     # each element j pairs with its `pos[j]` predecessors in the run
@@ -58,7 +60,7 @@ def pairs_in_runs(keys: np.ndarray, max_group: int) -> tuple[np.ndarray, np.ndar
 
 
 def pairs_of_partition(df: pd.DataFrame, payload_cols: list[str],
-                       max_group: int) -> pd.DataFrame:
+                       max_group: int | None) -> pd.DataFrame:
     """One coarse partition (all rows with part = p): sort by (k,
     doc_id), emit (doc_a, doc_b, payload_a…, payload_b…) pair rows."""
     df = df.sort_values(["k", "doc_id"], kind="stable")
@@ -76,7 +78,7 @@ def pairs_of_partition(df: pd.DataFrame, payload_cols: list[str],
     return res
 
 
-def keyed_pairs(rows_ds, payload_cols: list[str], max_group: int,
+def keyed_pairs(rows_ds, payload_cols: list[str], max_group: int | None,
                 n_parts: int = N_PARTS):
     """rows_ds: Dataset with (k:int64, part:int32, doc_id:int64,
     payload…) → Dataset of (doc_a, doc_b, payload_a…, payload_b…)."""

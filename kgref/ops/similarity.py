@@ -86,7 +86,10 @@ def ann_topk(sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
                 if len(cids) == 0:
                     continue
                 take = min(self.k, len(cids))
-                top = np.argpartition(-cs, take - 1)[:take]
+                # ties at the k-boundary break by SMALLER neighbor_id
+                # (the oracle's ORDER BY c DESC, neighbor_id): lexsort,
+                # not argpartition, so boundary ties are deterministic
+                top = np.lexsort((cids, -cs))[:take]
                 out_q.extend([int(self.qids[qi])] * take)
                 out_n.extend(cids[top].tolist())
                 out_c.extend(cs[top].tolist())
@@ -220,7 +223,7 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
                 cs = mat[mask] @ self.qmat[qi]
                 cids = ids[mask]
                 take = min(self.k, len(cids))
-                top = np.argpartition(-cs, take - 1)[:take]
+                top = np.lexsort((cids, -cs))[:take]  # deterministic ties
                 out_q.extend([int(self.qids[qi])] * take)
                 out_n.extend(cids[top].tolist())
                 out_c.extend(cs[top].tolist())

@@ -59,6 +59,29 @@ def build_triples(
     )
 
 
+def _check_resume_compatible(out_dir: str, lineage: dict) -> None:
+    """Refuse to resume into an out_dir produced under a different
+    bucket count / option set / dictionary version: bucket numbering is
+    crc32 % num_buckets, so skipping 'done' bucket ids from an
+    incompatible run would silently drop or duplicate conversations."""
+    import glob
+    import json
+    import os
+
+    mfiles = glob.glob(os.path.join(out_dir, "_manifest", "bucket-*.json"))
+    if not mfiles:
+        return
+    prev = json.load(open(sorted(mfiles)[0])).get("lineage", {})
+    for key in ("num_buckets", "options_key", "dict_version"):
+        if key in prev and prev[key] != lineage[key]:
+            raise ValueError(
+                f"resume mismatch in {out_dir}: existing manifests were "
+                f"written with {key}={prev[key]!r}, this run uses "
+                f"{lineage[key]!r}; use a fresh --out (or delete the old "
+                f"output) — mixing would corrupt bucket assignment/"
+                f"semantics")
+
+
 def run_pipeline(
     transcripts_path: str | list[str],
     dict_dir: str,
@@ -79,11 +102,6 @@ def run_pipeline(
     state = DictionaryState.from_dir(dict_dir)
     state_ref = ray.put(state)
 
-    # O3 skew pre-pass on the cheap side (input conv_id column only)
-    hot = hot_conversations(read_transcripts(transcripts_path,
-                                             columns=["conv_id"]),
-                            cfg.hot_conv_rows)
-
     lineage = {
         "input": transcripts_path if isinstance(transcripts_path, str)
         else list(transcripts_path),
@@ -91,17 +109,29 @@ def run_pipeline(
         "code_version": __version__,
         "options_key": opts.key(),
         "num_buckets": cfg.num_buckets,
-        "hot_convs": len(hot),
     }
 
     from ..stages.materialize import done_buckets, filter_to_buckets
 
     B = cfg.num_buckets
+    _check_resume_compatible(out_dir, lineage)
+    remaining = set(range(B)) - done_buckets(out_dir)
+    if not remaining:
+        return {"buckets": 0, "rows": 0, "wall_sec": 0.0}
+
+    # O3 skew pre-pass on the cheap side (input conv_id column only),
+    # scoped to the buckets this run will actually process — a resume
+    # of 1 of 4096 buckets must not scan the full corpus here
+    hot_input = read_transcripts(transcripts_path, columns=["conv_id"])
+    if len(remaining) < B:
+        hot_input = filter_to_buckets(hot_input, remaining, B)
+    hot = hot_conversations(hot_input, cfg.hot_conv_rows)
+    lineage["hot_convs"] = len(hot)
+
     waves = max(1, min(cfg.waves, B))
     totals = {"buckets": 0, "rows": 0, "wall_sec": 0.0}
     for w in range(waves):
-        wave_buckets = {b for b in range(B)
-                        if b % waves == w} - done_buckets(out_dir)
+        wave_buckets = {b for b in remaining if b % waves == w}
         if not wave_buckets:
             continue
         transcripts = read_transcripts(transcripts_path)

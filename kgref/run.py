@@ -41,9 +41,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--no-stop-words", action="store_true")
     p.add_argument("--exclude-numbers", action="store_true")
     p.add_argument("--longest-only", action="store_true")
-    p.add_argument("--whole-word-only", action="store_true", default=True)
     p.add_argument("--subword", action="store_true",
-                   help="allow sub-token matches (mgrep longword=N)")
+                   help="allow sub-token matches (mgrep longword=N); "
+                        "whole-word matching is the default")
     p.add_argument("--ontologies", default="",
                    help="comma-separated ontology acronyms filter")
     p.add_argument("--semantic-types", default="")

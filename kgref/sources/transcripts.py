@@ -27,8 +27,9 @@ def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
     """Adapter: the driver's ``documents`` table viewed as transcripts.
 
     Deterministic, order-independent mapping — conv/turn derive from
-    doc_id alone: conv_id = 'conv-%06d' % (doc_id // turns_per_conv),
-    turn_idx = doc_id % turns_per_conv.  Used by bench/demo runs so the
+    doc_id alone: conv_id = f'conv-{doc_id // turns_per_conv}' (UNPADDED
+    — the SQL oracles concatenate the same way), turn_idx =
+    doc_id % turns_per_conv.  Used by bench/demo runs so the
     flagship pipeline exercises the exact input_hint shape without
     synthesizing external data."""
 

@@ -256,6 +256,12 @@ def materialize_conversations(
     stats_dir = os.path.join(out_dir, "_convstats")
     import shutil as _sh
 
+    # a crashed previous run may have left partial parquet in _staging;
+    # write_parquet would APPEND new uuid-named files next to them and
+    # finalize would merge both into the bucket → duplicated triples.
+    # Staging is never a resume unit (only manifested buckets are), so
+    # always start clean.
+    _sh.rmtree(staging, ignore_errors=True)
     _sh.rmtree(stats_dir, ignore_errors=True)
     os.makedirs(stats_dir, exist_ok=True)
 

@@ -138,3 +138,19 @@ def test_random_stress_vs_oracle():
         assert got_ww == brute_matches(utext, terms, True)
         got_sw = {(m.term_id, m.start0, m.end0) for m in td.match(utext, False)}
         assert got_sw == brute_matches(utext, terms, False)
+
+
+def test_irregular_edge_terms_match_oracle_semantics():
+    """Terms whose first/last char is NOT a word char (C++-style) carry
+    no boundary requirement on that edge (oracle/mgrep semantics)."""
+    from kgref.oracle import _find_all
+
+    terms = {"C++": 1, "+5": 2, "ABC.": 3, "-HASH": 4, "NORMAL": 5}
+    td = TermDictionary(terms)
+    for utext in ["USE C++ NOW", "AC++B", "GET +5 OR A+5B", "ABC.DEF",
+                  "X-HASH Y", "NORMAL-HASH", "SAY ABC. NORMAL C++"]:
+        got = {(m.start0, m.end0, m.term_id)
+               for m in td.match(utext, whole_word_only=True)}
+        want = {(s, e, tid) for t, tid in terms.items()
+                for s, e in _find_all(utext, t, True)}
+        assert got == want, (utext, got, want)

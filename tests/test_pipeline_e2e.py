@@ -142,3 +142,34 @@ def test_waves_produce_identical_output(run, fixture_bundle,
     for mf in glob.glob(os.path.join(wave_out, "_manifest", "bucket-*.json")):
         waves_seen.add(json.load(open(mf))["lineage"]["wave"])
     assert waves_seen == {0, 1, 2, 3}
+
+
+def test_resume_rejects_incompatible_config(run, fixture_bundle):
+    out_dir, _ = run
+    import dataclasses
+
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_pipeline(fixture_bundle["transcripts_dir"],
+                     fixture_bundle["dict_dir"], out_dir, OPTS,
+                     dataclasses.replace(CFG, num_buckets=16))
+    with pytest.raises(ValueError, match="resume mismatch"):
+        run_pipeline(fixture_bundle["transcripts_dir"],
+                     fixture_bundle["dict_dir"], out_dir,
+                     AnnotateOptions(min_term_size=9), CFG)
+
+
+def test_stale_staging_from_crash_does_not_duplicate(run, fixture_bundle,
+                                                     tmp_path_factory):
+    """A crashed run's partial _staging files must not be merged into
+    finalized buckets on the next run."""
+    out_dir, _ = run
+    want = triple_set(read_output(out_dir))
+    crash_out = str(tmp_path_factory.mktemp("e2e_crash"))
+    # simulate a crash remnant: stale parquet in staging for bucket 0
+    stale = os.path.join(crash_out, "_staging", "bucket=0")
+    os.makedirs(stale)
+    first = glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet"))[0]
+    shutil.copy(first, os.path.join(stale, "stale-leftover.parquet"))
+    run_pipeline(fixture_bundle["transcripts_dir"],
+                 fixture_bundle["dict_dir"], crash_out, OPTS, CFG)
+    assert triple_set(read_output(crash_out)) == want
