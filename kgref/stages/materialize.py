@@ -15,8 +15,12 @@ Scale design (10^12 turns):
 - Skew: hot conversations (counted cheaply on the INPUT's conv_id column
   via partial per-batch counts, not on the exploded triples) are
   range-salted ``salt = turn_idx // salt_chunk`` so each salted group is
-  a contiguous turn range and per-conv order is recovered by ordered
-  concat of its salt runs (SURVEY.md §7 hard-part 4; never hash-salt).
+  a contiguous, disjoint turn range (SURVEY.md §7 hard-part 4; never
+  hash-salt).  Ordering contract: rows are (conv, turn)-sorted WITHIN
+  each output file; a hot conv's salt runs land in separate files of its
+  bucket dir, so whole-conv order across files is recovered by a cheap
+  per-conv sort on turn_idx (files are internally sorted runs — this is
+  a k-way merge, not a re-sort).
 - Resume: buckets listed in ``_manifest/`` are filtered out of the INPUT
   before the expensive annotate stage even runs; finished work is
   skipped, not recomputed.  Deterministic bucket = crc32(conv_id) % B.
