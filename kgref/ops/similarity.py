@@ -136,37 +136,102 @@ FROM r WHERE rnk <= {k}
 """
 
 
-def embedding_dup_pairs(sf_dir: str, tau: float = DUP_TAU):
-    """All-pairs cosine ≥ τ.  Broadcast the normalized corpus matrix,
-    stream row blocks against it; emit only (a < b) pairs."""
+def _load_norm_block(path: str, row_groups: list[int] | None,
+                     lo: int, hi: int):
+    """Worker-side block load (runs as a Ray task — the corpus matrix
+    never materializes on the driver): read only this block's row groups
+    when the file has enough, else slice the single-group read."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if row_groups is not None:
+        t = pf.read_row_groups(row_groups, columns=["vec_id", "embedding"])
+    else:
+        t = pf.read(columns=["vec_id", "embedding"]).slice(lo, hi - lo)
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def _embedding_blocks(path: str) -> list:
+    """Plan B index blocks of ≤ KGREF_EMB_BLOCK_BYTES each and load them
+    via remote tasks.  Returns a list of ObjectRefs to (ids, mat)."""
+    import os
+
+    import pyarrow.parquet as pq
     import ray
+
+    pf = pq.ParquetFile(path)
+    n = pf.metadata.num_rows
+    dim = len(next(pf.iter_batches(batch_size=1)).column("embedding")[0])
+    target = int(os.environ.get("KGREF_EMB_BLOCK_BYTES", 256 << 20))
+    num_blocks = max(1, -(-(n * dim * 8) // target))
+    load = ray.remote(num_returns=1)(_load_norm_block)
+
+    nrg = pf.metadata.num_row_groups
+    refs = []
+    if nrg >= num_blocks:
+        # contiguous row-group split: each task reads ONLY its groups
+        per = -(-nrg // num_blocks)
+        for s in range(0, nrg, per):
+            refs.append(load.remote(path, list(range(s, min(s + per, nrg))),
+                                    0, 0))
+    else:
+        # few row groups (small files): row-range slices of the read
+        per = -(-n // num_blocks)
+        for s in range(0, n, per):
+            refs.append(load.remote(path, None, s, min(s + per, n)))
+    return refs
+
+
+def embedding_dup_pairs(sf_dir: str, tau: float = DUP_TAU):
+    """All-pairs cosine ≥ τ as a block-nested-loop: the corpus index side
+    is split into B blocks of bounded bytes (KGREF_EMB_BLOCK_BYTES, 256
+    MiB default), each loaded by a remote task and broadcast for one
+    streaming pass of the corpus.  Per-worker resident memory is ONE
+    block, never the whole matrix, and the driver holds only ObjectRefs.
+
+    Exactness across blocks: the emit predicate ``stream_id < block_id``
+    partitions the (a<b) pair space globally, so each qualifying pair is
+    emitted exactly once no matter how the index side is blocked.
+
+    Scale note: B passes stream the corpus B times — O(n²/B_bytes) IO,
+    the standard block-nested-loop trade.  Above ~10^8 vectors route to
+    ``ann_topk_lsh``-style bucketing instead (see module docstring).
+
+    The per-pass transform is a stateless TASK, not an actor pool: B
+    union branches × fixed actor pools would demand B×pool CPUs at once
+    and deadlock the scheduler when B is large; a task's ``ray.get`` of
+    the plasma-resident numpy block is a zero-copy shared-memory map, so
+    statelessness costs microseconds per batch, not a reload."""
     import ray.data as rd
 
-    all_ids, all_mat = _normalized_matrix(sf_dir)
-    ref = ray.put((all_ids, all_mat))
+    path = f"{sf_dir}/embeddings.parquet"
+    block_refs = _embedding_blocks(path)
 
-    class PairBlock:
-        def __init__(self, ref, tau):
-            self.ids, self.mat = ray.get(ref)
-            self.tau = tau
+    def make_pass(ref):
+        def pair_block(batch: pa.Table) -> pa.Table:
+            import ray
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+            blk_ids, blk_mat = ray.get(ref)  # zero-copy plasma map
             ids, mat = _batch_to_matrix(batch)
-            sims = mat @ self.mat.T  # (batch, n_all)
-            bi, aj = np.nonzero((sims >= self.tau)
-                                & (ids[:, None] < self.ids[None, :]))
+            sims = mat @ blk_mat.T  # (batch, block)
+            bi, aj = np.nonzero((sims >= tau)
+                                & (ids[:, None] < blk_ids[None, :]))
             return pa.Table.from_arrays(
                 [pa.array(ids[bi], pa.int64()),
-                 pa.array(self.ids[aj], pa.int64()),
+                 pa.array(blk_ids[aj], pa.int64()),
                  pa.array([round_half_up(c) for c in sims[bi, aj]],
                           pa.float64())],
                 names=["vec_a", "vec_b", "cos"],
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    return ds.map_batches(PairBlock, fn_constructor_args=(ref, tau),
-                          batch_format="pyarrow", concurrency=2)
+        return rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+            .map_batches(pair_block, batch_format="pyarrow")
+
+    passes = [make_pass(ref) for ref in block_refs]
+    return passes[0] if len(passes) == 1 else passes[0].union(*passes[1:])
 
 
 def embedding_dup_sql(tau: float = DUP_TAU) -> str:

@@ -122,28 +122,53 @@ def hot_conversations(transcripts: rd.Dataset, threshold: int) -> dict[str, int]
         partial_counts, batch_format="pyarrow"
     )
     agg = partials.groupby("conv_id").aggregate(Sum("n", alias_name="turns"))
+    # push the ≥threshold filter into the workers so only hot rows (a
+    # tiny set by definition) ever transit the driver — at 10^9 convs the
+    # cold aggregate rows are dropped before iter_batches ships them
+    hot_only = agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("turns"), threshold)),
+        batch_format="pyarrow",
+    )
     hot = {}
-    for batch in agg.iter_batches(batch_format="pyarrow"):
-        mask = pc.greater_equal(batch.column("turns"), threshold)
-        sub = batch.filter(mask)
-        for cid, n in zip(sub.column("conv_id").to_pylist(),
-                          sub.column("turns").to_pylist()):
+    for batch in hot_only.iter_batches(batch_format="pyarrow"):
+        for cid, n in zip(batch.column("conv_id").to_pylist(),
+                          batch.column("turns").to_pylist()):
             hot[cid] = int(n)
     return hot
 
 
 def add_salt_column(ds: rd.Dataset, hot: dict[str, int], salt_chunk: int) -> rd.Dataset:
     """Range-salt hot conversations: salt = turn_idx // salt_chunk (0 for
-    cold convs) — salt groups are disjoint, contiguous turn ranges."""
-    hot_keys = frozenset(hot)
+    cold convs) — salt groups are disjoint, contiguous turn ranges.
+
+    All-Arrow: the hot-membership mask is computed once per UNIQUE conv
+    (dictionary path) or via one ``pc.is_in`` C kernel, and the salt
+    value is ``pc.if_else(mask, turn_idx // salt_chunk, 0)`` — no
+    per-row Python even on fully-hot corpora."""
+    hot_arr = pa.array(sorted(hot), pa.string())
+    zero = pa.scalar(0, pa.int32())
+    chunk = pa.scalar(salt_chunk, pa.int32())
 
     def salt(batch: pa.Table) -> pa.Table:
-        if not hot_keys:
-            return batch.append_column("salt", pa.array([0] * len(batch), pa.int32()))
-        conv = batch.column("conv_id").to_pylist()
-        turn = batch.column("turn_idx").to_pylist()
-        s = [(t // salt_chunk) if c in hot_keys else 0 for c, t in zip(conv, turn)]
-        return batch.append_column("salt", pa.array(s, pa.int32()))
+        n = len(batch)
+        if not len(hot_arr):
+            import numpy as np
+
+            return batch.append_column(
+                "salt", pa.array(np.zeros(n, dtype=np.int32)))
+        conv = batch.column("conv_id").combine_chunks()
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.chunk(0) if conv.num_chunks else pa.array([], pa.string())
+        if pa.types.is_dictionary(conv.type):
+            # membership test over the uniques only, broadcast via take
+            mask = pc.is_in(conv.dictionary, value_set=hot_arr).take(conv.indices)
+        else:
+            mask = pc.is_in(conv, value_set=hot_arr)
+        # integer divide on int32 == floor division for non-negative turn_idx
+        div = pc.cast(pc.divide(pc.cast(batch.column("turn_idx"), pa.int32()),
+                                chunk), pa.int32())
+        s = pc.if_else(mask, div, zero)
+        return batch.append_column("salt", s)
 
     return ds.map_batches(salt, batch_format="pyarrow")
 

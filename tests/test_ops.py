@@ -135,6 +135,29 @@ def test_embedding_dup_pairs_threshold(ray_session):
     assert set(zip(got["vec_a"], got["vec_b"])) == want
 
 
+def test_embedding_dup_pairs_blocked_matches_single_pass(
+        ray_session, monkeypatch):
+    """Force the block-nested-loop path (B > 1 index blocks) and check
+    the pair set is identical to the numpy all-pairs oracle — the
+    stream_id < block_id predicate must emit each pair exactly once."""
+    from kgref.ops import similarity
+    from kgref.ops.similarity import DUP_TAU, embedding_dup_pairs
+
+    # 500 vecs × 64 dim × 8 B = 256 KB → cap forces ≥ 4 blocks
+    monkeypatch.setenv("KGREF_EMB_BLOCK_BYTES", str(64 << 10))
+    assert len(similarity._embedding_blocks(
+        f"{SF}/embeddings.parquet")) > 1
+    got = embedding_dup_pairs(SF).to_pandas()
+    ids, mat = _normalized_all()
+    sims = mat @ mat.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] >= DUP_TAU}
+    pairs = list(zip(got["vec_a"], got["vec_b"]))
+    assert len(pairs) == len(set(pairs))  # no duplicate emission
+    assert set(pairs) == want
+
+
 def test_ann_lsh_neighbors_are_genuine(ray_session):
     """LSH recall < 1 by design, but every reported neighbor must carry
     its true cosine and ranks must be locally consistent."""
