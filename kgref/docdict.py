@@ -74,6 +74,15 @@ CLASS_DEFS = [
     # every whole-word variant since no standalone token has them
     ("Tab", "DOC", "tab", [], ["T_MISC"], [], ""),
     ("Ream", "DOC", "ream", [], ["T_MISC"], [], ""),
+    # pure-numeric surfaces (M6): only matchable in the digit-suffixed
+    # transcripts view (queries.py annotate_*_numbers variants — documents
+    # text itself is [a-z ]); dropped when exclude_numbers=True.  "hash 3"
+    # is digit-BEARING but not purely numeric, so it must SURVIVE the
+    # filter — proving the exclusion is surface-exact (occurs at sf0.001,
+    # sf0.01 and sf0.1: docs ending "... hash" with doc_id%10 == 3).
+    ("NumThree", "DOC", "3", [], ["T_NUM"], [], ""),
+    ("NumSeven", "DOC", "7", [], ["T_NUM"], [], ""),
+    ("HashThree", "DOC", "hash 3", [], ["T_NUM"], [], ""),
     # --- ALT ontology (mapping targets + a shared surface) ----------------
     ("AltSpark", "ALT", "spark", [], ["T_SYS"], [], ""),  # same surface, 2nd ont
     ("Junction", "ALT", "junction", [], ["T_OP"], [], ""),

@@ -48,19 +48,23 @@ def _plain_strings(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, names=batch.column_names)
 
 
-def _annotate_ds(sf_dir: str, opts: AnnotateOptions):
+def _annotate_ds(sf_dir: str, opts: AnnotateOptions,
+                 digit_suffix: bool = False):
     import ray
 
     from .pipelines.annotate_pipeline import build_triples
     from .sources.transcripts import documents_as_transcripts
 
-    ds = documents_as_transcripts(sf_dir, turns_per_conv=docdict.TURNS_PER_CONV)
+    ds = documents_as_transcripts(
+        sf_dir, turns_per_conv=docdict.TURNS_PER_CONV,
+        digit_suffix_mod=10 if digit_suffix else None)
     triples = build_triples(ds, ray.put(docdict.state()), opts, _CFG)
     return triples.map_batches(_plain_strings, batch_format="pyarrow")
 
 
-def _annotate_q(opts: AnnotateOptions) -> Callable[[str], Any]:
-    return lambda sf_dir: _annotate_ds(sf_dir, opts)
+def _annotate_q(opts: AnnotateOptions,
+                digit_suffix: bool = False) -> Callable[[str], Any]:
+    return lambda sf_dir: _annotate_ds(sf_dir, opts, digit_suffix)
 
 
 def _conv_triple_counts(sf_dir: str):
@@ -112,8 +116,15 @@ def _conv_subgraph(sf_dir: str):
 # two implementations of one spec.
 
 
-def annotate_oracle_sql(opts: AnnotateOptions) -> str:
+def annotate_oracle_sql(opts: AnnotateOptions,
+                        digit_suffix: bool = False) -> str:
     tpc = docdict.TURNS_PER_CONV
+    if digit_suffix:
+        docs_src = ("(SELECT doc_id, text || ' ' ||"
+                    " CAST(doc_id % 10 AS VARCHAR) AS text"
+                    " FROM documents) docs")
+    else:
+        docs_src = "documents"
     stop = set(docdict.STOPWORDS) if opts.use_stop_words else set()
     stop |= {w.upper() for w in opts.extra_stop_words}
 
@@ -213,8 +224,8 @@ def annotate_oracle_sql(opts: AnnotateOptions) -> str:
 
     if opts.whole_word_only:
         # token-window matching: positions are word indices
-        match_ctes = """
-t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        match_ctes = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM {docs_src}),
 tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t),
 raw0 AS (
   SELECT doc_id, term_id, term,
@@ -229,10 +240,10 @@ raw0 AS (
     else:
         # sub-token matching (mgrep longword=N): enumerate every CHAR
         # position — matches may start/end mid-token
-        match_ctes = """
+        match_ctes = f"""
 cpos AS (SELECT doc_id, text,
                 unnest(generate_series(1, length(text))) AS p
-         FROM documents),
+         FROM {docs_src}),
 raw0 AS (
   SELECT doc_id, term_id, term, CAST(p AS INTEGER) AS from_1b,
          CAST(p + length(term) - 1 AS INTEGER) AS to_1b
@@ -285,6 +296,15 @@ ANNOTATE_VARIANTS: dict[str, AnnotateOptions] = {
     "annotate_subword": AnnotateOptions(whole_word_only=False),
 }
 
+# M6 gate: run over the digit-suffixed transcripts view (documents text
+# is digit-free).  The with/without pair proves the filter FIRES: pure
+# numerics ("3", "7") present only in the unfiltered run, while the
+# digit-bearing-but-not-numeric "key 3" survives both.
+ANNOTATE_DIGIT_VARIANTS: dict[str, AnnotateOptions] = {
+    "annotate_exclude_numbers": AnnotateOptions(exclude_numbers=True),
+    "annotate_with_numbers": AnnotateOptions(),
+}
+
 # non-SQL-expressible variants → rows-only checks
 ANNOTATE_ROWS_ONLY: dict[str, AnnotateOptions] = {}
 
@@ -332,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for name, opts in ANNOTATE_VARIANTS.items():
         q[name] = _annotate_q(opts)
+    for name, opts in ANNOTATE_DIGIT_VARIANTS.items():
+        q[name] = _annotate_q(opts, digit_suffix=True)
     for name, opts in ANNOTATE_ROWS_ONLY.items():
         q[name] = _annotate_q(opts)
     q["conv_turns"] = _conv_turns
@@ -350,6 +372,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for name, opts in ANNOTATE_VARIANTS.items():
         o[name] = annotate_oracle_sql(opts)
+    for name, opts in ANNOTATE_DIGIT_VARIANTS.items():
+        o[name] = annotate_oracle_sql(opts, digit_suffix=True)
     tpc = docdict.TURNS_PER_CONV
     o["conv_turns"] = (
         f"SELECT 'conv-' || CAST(doc_id // {tpc} AS VARCHAR) AS conv_id,"

@@ -23,7 +23,8 @@ def read_transcripts(path: str | list[str], *, columns: list[str] | None = None,
 
 
 def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
-                             override_num_blocks: int | None = None) -> rd.Dataset:
+                             override_num_blocks: int | None = None,
+                             digit_suffix_mod: int | None = None) -> rd.Dataset:
     """Adapter: the driver's ``documents`` table viewed as transcripts.
 
     Deterministic, order-independent mapping — conv/turn derive from
@@ -31,7 +32,12 @@ def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
     — the SQL oracles concatenate the same way), turn_idx =
     doc_id % turns_per_conv.  Used by bench/demo runs so the
     flagship pipeline exercises the exact input_hint shape without
-    synthesizing external data."""
+    synthesizing external data.
+
+    ``digit_suffix_mod=m`` appends ``' ' || doc_id % m`` to each text —
+    the documents vocabulary is digit-free ([a-z ]), so this gives the
+    exclude_numbers (M6) gate queries a digit-bearing corpus derived
+    purely from the driver's own table (same expression in SQL)."""
 
     def to_turns(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -45,8 +51,17 @@ def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
         )
         turn_idx = pc.cast(pc.subtract(doc_id, pc.multiply(conv_num, turns_per_conv)),
                            pa.int32())
+        text = batch.column("text")
+        if digit_suffix_mod is not None:
+            text = pc.binary_join_element_wise(
+                text,
+                pc.cast(pc.subtract(
+                    doc_id, pc.multiply(pc.divide(doc_id, digit_suffix_mod),
+                                        digit_suffix_mod)), pa.string()),
+                " ",
+            )
         return pa.Table.from_arrays(
-            [conv_id, turn_idx, batch.column("text")],
+            [conv_id, turn_idx, text],
             names=["conv_id", "turn_idx", "text"],
         )
 
