@@ -26,7 +26,10 @@ import subprocess
 import sys
 import time
 
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REP", "16"))
+# default REP matches the BASELINE.md-recorded configuration (REP=64)
+# so driver-visible BENCH_rN numbers are comparable round-over-round and
+# to the recorded baseline (fixed overheads amortized identically)
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REP", "64"))
 SCALING_REP = 512  # big job for the N-vs-4N evidence: fixed overheads amortize
 SCALING_REP_FULL = 64
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,7 +158,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         ray.shutdown()
 
 
-SCALING_TRIALS = 2
+SCALING_TRIALS = 3
 
 
 def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
@@ -166,8 +169,12 @@ def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
         [sys.executable, os.path.abspath(__file__), "--headline-json"],
         env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench child (cpus={cpus}, stage={stage}) failed with "
+            f"rc={out.returncode}; stderr tail:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -176,9 +183,10 @@ def run_scaling(sf_dir: str) -> dict:
     The sandbox host is SHARED (neighbor load average 8–26 from outside
     this container; single-setting trial variance measured at ~50%), so
     trials run as back-to-back (8, 32) PAIRS: each pair samples one load
-    window and yields one efficiency estimate r32/(4·r8).  The reported
-    value is the best pair (least external interference); every pair is
-    reported for transparency."""
+    window and yields one efficiency estimate r32/(4·r8).  The headline
+    value is the MEDIAN pair — under symmetric noise a max-statistic is
+    positively biased, the median is not; best and all pairs are
+    reported as secondary fields for transparency."""
     pairs = []
     for _ in range(SCALING_TRIALS):
         r8 = _one_trial(sf_dir, 8)
@@ -191,7 +199,9 @@ def run_scaling(sf_dir: str) -> dict:
             "efficiency": round(r32["annotate_turns_per_sec"]
                                 / (4 * r8["annotate_turns_per_sec"]), 3),
         })
-    best = max(pairs, key=lambda p: p["efficiency"])
+    ranked = sorted(pairs, key=lambda p: p["efficiency"])
+    median = ranked[len(ranked) // 2]
+    best = ranked[-1]
     # one full-pipeline pair (annotate + conv shuffle + resumable sink)
     # for transparency: on ONE node the sink/shuffle share disk + memory
     # bandwidth that a real 4N-node cluster multiplies, so the pipeline
@@ -202,12 +212,14 @@ def run_scaling(sf_dir: str) -> dict:
                      / (4 * f8["annotate_turns_per_sec"]), 3)
     return {
         "metric": "scaling_efficiency_8_to_32",
-        "value": best["efficiency"],
+        "value": median["efficiency"],
         "unit": "ratio",
-        "queries": {"annotate_cpus8_sec": best["cpus8_sec"],
-                    "annotate_cpus32_sec": best["cpus32_sec"]},
-        "turns_per_sec": {"cpus8": best["cpus8_turns_per_sec"],
-                          "cpus32": best["cpus32_turns_per_sec"]},
+        "estimator": f"median of {SCALING_TRIALS} pairs",
+        "queries": {"annotate_cpus8_sec": median["cpus8_sec"],
+                    "annotate_cpus32_sec": median["cpus32_sec"]},
+        "turns_per_sec": {"cpus8": median["cpus8_turns_per_sec"],
+                          "cpus32": median["cpus32_turns_per_sec"]},
+        "best_pair_efficiency": best["efficiency"],
         "all_pairs": pairs,
         "full_pipeline": {"cpus8_turns_per_sec": f8["annotate_turns_per_sec"],
                           "cpus32_turns_per_sec": f32["annotate_turns_per_sec"],

@@ -42,8 +42,34 @@ MAX_GROUP = 64  # cap pair fan-out per shingle/bucket group
 
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.RandomState(42)
-_PERM_A = _RNG.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
-_PERM_B = _RNG.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_PERM_A = _RNG.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(
+    np.uint64)
+_PERM_B = _RNG.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(
+    np.uint64)
+
+
+def _mulmod_m61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Vectorized (a*h) mod (2^61-1) for uint64 operands < 2^61, without
+    128-bit ints: split both into 31+30 bit halves, use 2^61 ≡ 1 (mod p)
+    to fold each partial product below 2^62, sum in uint64 (< 2^64),
+    then Mersenne-reduce.  This makes (a*h + b) mod p the genuine
+    universal hash the MinHash math assumes — the old int64 product
+    silently wrapped."""
+    p = np.uint64(_MERSENNE)
+    mask31 = np.uint64((1 << 31) - 1)
+    a1, a0 = a >> np.uint64(31), a & mask31        # a = 2^31 a1 + a0
+    h1, h0 = h >> np.uint64(31), h & mask31
+    # 2^62 a1h1 ≡ 2 a1h1;  a1h1 < 2^60 → term < 2^61
+    t1 = (a1 * h1) << np.uint64(1)
+    # 2^31 (a1h0 + a0h1): mid < 2^62; split mid = 2^30 m1 + m0 →
+    # 2^31 mid = 2^61 m1 + 2^31 m0 ≡ m1 + 2^31 m0  (each < 2^61)
+    mid = a1 * h0 + a0 * h1
+    t2 = (mid >> np.uint64(30)) + ((mid & np.uint64((1 << 30) - 1))
+                                   << np.uint64(31))
+    x = t1 + t2 + a0 * h0  # each term < 2^62 → sum < 2^64, no wrap
+    x = (x & p) + (x >> np.uint64(61))
+    x = (x & p) + (x >> np.uint64(61))
+    return np.where(x >= p, x - p, x)
 
 
 def round_half_up(x: float, digits: int = 4) -> float:
@@ -63,6 +89,12 @@ def _token_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
 
 
 def _hash64(s: str) -> int:
+    """61-bit blake2b shingle id.  Shingles are identified by this hash
+    everywhere downstream (the shuffle moves 8-byte keys, not strings),
+    so two distinct shingles collide with probability 2^-61 per pair —
+    ~1e-6 even at 10^12 distinct shingles (birthday bound), far below
+    the 1e-4 rounding grain of the reported Jaccard values.  The
+    'exact' claim on the Jaccard path is exact-modulo-this-bound."""
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
                           "big") & ((1 << 61) - 1)
 
@@ -193,10 +225,16 @@ def _minhash_band_rows(batch: pa.Table) -> pa.Table:
         sh = _token_shingles(text)
         if not sh:
             continue
-        h = np.array([_hash64(s) for s in sh], dtype=np.int64)
-        # min over universal-hash permutations: (a*h + b) mod p
-        mh = ((_PERM_A[None, :] * h[:, None] + _PERM_B[None, :])
-              % _MERSENNE).min(axis=0)
+        h = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        # min over universal-hash permutations: (a*h + b) mod p, with a
+        # true 61-bit Mersenne mulmod (no int64 overflow wrap)
+        prod = _mulmod_m61(_PERM_A[None, :],
+                           np.broadcast_to(h[:, None],
+                                           (len(h), NUM_PERM)))
+        s_ = prod + _PERM_B[None, :]          # < 2^62, no wrap
+        p_ = np.uint64(_MERSENNE)
+        s_ = (s_ & p_) + (s_ >> np.uint64(61))
+        mh = np.where(s_ >= p_, s_ - p_, s_).min(axis=0).astype(np.uint64)
         for b in range(BANDS):
             band = mh[b * rows_per_band : (b + 1) * rows_per_band]
             k = int.from_bytes(
@@ -236,17 +274,37 @@ def minhash_lsh_pairs(sf_dir: str):
 # 4. SimHash pairs (rows-only)
 
 
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+
+
+def _token_hash64(tok: str) -> int:
+    h = _TOKEN_HASH_MEMO.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(),
+                                           digest_size=8).digest(), "big")
+        # bound the memo (worker-lifetime cache; corpora have small
+        # token vocabularies relative to token counts)
+        if len(_TOKEN_HASH_MEMO) < 1_000_000:
+            _TOKEN_HASH_MEMO[tok] = h
+    return h
+
+
 def _simhash64(text: str) -> int:
+    """Vectorized: ONE (ntok × 64) numpy unpack per document instead of
+    a 64-element Python list comp per token; token hashes memoized for
+    the worker lifetime."""
     counts: dict[str, int] = {}
     for t in text.split(" "):
         counts[t] = counts.get(t, 0) + 1
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, c in counts.items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(),
-                                           digest_size=8).digest(), "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += (2 * bits - 1) * c
-    return int("".join("1" if b > 0 else "0" for b in acc[::-1]), 2)
+    if not counts:
+        return 0
+    h = np.array([_token_hash64(t) for t in counts], dtype=np.uint64)
+    c = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)        # (ntok, 64)
+    acc = ((2 * bits - 1) * c[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
 
 
 def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS):

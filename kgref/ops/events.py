@@ -24,7 +24,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import round_half_up
 from .pairs import N_PARTS
 
 SESSION_GAP_S = 1800  # 30 min
@@ -38,7 +37,13 @@ def _with_part(batch: pa.Table) -> pa.Table:
 
 def windowed_agg(sf_dir: str):
     """Tumbling 1-hour window per user: event count + value sum.
-    ≙ ``GROUP BY user_id, date_trunc('hour', ts)``."""
+    ≙ ``GROUP BY user_id, date_trunc('hour', ts)``.
+
+    ``sum_value`` is defined as the FIXED-POINT sum: each value rounded
+    half-up to 4 decimals as an int64, summed exactly, scaled back.
+    Integer summation is order-independent, so the result cannot flip at
+    a rounding boundary when pandas/Ray/DuckDB accumulate floats in
+    different orders (the float-sum-then-round formulation can)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -47,10 +52,11 @@ def windowed_agg(sf_dir: str):
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["part"])
         df["window_start"] = df["ts"].dt.floor("h")
+        df["v4"] = np.floor(df["value"] * 10000 + 0.5).astype(np.int64)
         g = (df.groupby(["user_id", "window_start"], sort=False)
-             .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+             .agg(n_events=("v4", "size"), sum_v4=("v4", "sum"))
              .reset_index())
-        g["sum_value"] = [round_half_up(x) for x in g["sum_value"]]
+        g["sum_value"] = g["sum_v4"] / 10000.0
         return g[["user_id", "window_start", "n_events", "sum_value"]]
 
     return (ds.map_batches(_with_part, batch_format="pyarrow")
@@ -60,7 +66,8 @@ def windowed_agg(sf_dir: str):
 def windowed_agg_sql() -> str:
     return ("SELECT user_id, date_trunc('hour', ts) AS window_start,"
             " count(*) AS n_events,"
-            " floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value"
+            " sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0"
+            " AS sum_value"
             " FROM events GROUP BY user_id, date_trunc('hour', ts)")
 
 

@@ -23,14 +23,25 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import round_half_up
-
 SHIP_CUTOFF = "1998-09-02"
 
 
+def _fx4(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Half-up 4-decimal fixed-point int64 of a float column (the SQL
+    twin is ``CAST(floor(x * 10000 + 0.5) AS BIGINT)``)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 10000.0), 0.5)),
+                   pa.int64())
+
+
 def lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pruned aggregation.  All float aggregates are
+    FIXED-POINT: values are rounded half-up to 4 decimals as int64 in a
+    vectorized pre-stage, summed exactly (integer Sum is associative →
+    order-independent, no accumulation-order parity flakes), and scaled
+    back after the groupby; avg = floor(sum4/n + 0.5)/10⁴ with the same
+    double division on both sides."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -39,36 +50,50 @@ def lineitem_pricing(sf_dir: str):
         filter=(pc.field("l_shipdate")
                 <= pa.scalar(np.datetime64(SHIP_CUTOFF, "us"))),
     )
+
+    def to_fx(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("l_returnflag"), batch.column("l_linestatus"),
+             _fx4(batch.column("l_quantity")),
+             _fx4(batch.column("l_extendedprice")),
+             _fx4(batch.column("l_discount"))],
+            names=["l_returnflag", "l_linestatus", "qty4", "price4",
+                   "disc4"])
+
     out = (
-        ds.drop_columns(["l_shipdate"])
+        ds.map_batches(to_fx, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                   Sum("l_extendedprice", alias_name="sum_base_price"),
-                   Mean("l_discount", alias_name="avg_disc"),
+        .aggregate(Sum("qty4", alias_name="qty4"),
+                   Sum("price4", alias_name="price4"),
+                   Sum("disc4", alias_name="disc4"),
                    Count(alias_name="count_order"))
     )
 
-    def rnd(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name in batch.column_names:
-            col = batch.column(name)
-            if name in ("sum_qty", "sum_base_price", "avg_disc"):
-                col = pa.array([round_half_up(x) for x in
-                                col.to_pylist()], pa.float64())
-            cols[name] = col
-        return pa.Table.from_arrays(list(cols.values()),
-                                    names=list(cols.keys()))
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("count_order")
+        avg4 = pc.floor(pc.add(pc.divide(
+            pc.cast(batch.column("disc4"), pa.float64()),
+            pc.cast(n, pa.float64())), 0.5))
+        return pa.Table.from_arrays(
+            [batch.column("l_returnflag"), batch.column("l_linestatus"),
+             pc.divide(pc.cast(batch.column("qty4"), pa.float64()), 10000.0),
+             pc.divide(pc.cast(batch.column("price4"), pa.float64()),
+                       10000.0),
+             pc.divide(avg4, 10000.0), n],
+            names=["l_returnflag", "l_linestatus", "sum_qty",
+                   "sum_base_price", "avg_disc", "count_order"])
 
-    return out.map_batches(rnd, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def lineitem_pricing_sql() -> str:
-    r = "floor({} * 10000 + 0.5) / 10000"
+    fx = "sum(CAST(floor({} * 10000 + 0.5) AS BIGINT))"
     return f"""
 SELECT l_returnflag, l_linestatus,
-       {r.format('sum(l_quantity)')} AS sum_qty,
-       {r.format('sum(l_extendedprice)')} AS sum_base_price,
-       {r.format('avg(l_discount)')} AS avg_disc,
+       {fx.format('l_quantity')} / 10000.0 AS sum_qty,
+       {fx.format('l_extendedprice')} / 10000.0 AS sum_base_price,
+       floor({fx.format('l_discount')} / CAST(count(*) AS DOUBLE) + 0.5)
+         / 10000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -107,9 +132,12 @@ def orders_by_segment(sf_dir: str):
                             batch_format="pyarrow", concurrency=2)
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby("segment", sort=False)["o_totalprice"]
+        # fixed-point sum → order-independent (see lineitem_pricing)
+        df["p4"] = np.floor(df["o_totalprice"] * 10000 + 0.5).astype(
+            np.int64)
+        g = (df.groupby("segment", sort=False)["p4"]
              .agg(n_orders="size", total="sum").reset_index())
-        g["total"] = [round_half_up(x) for x in g["total"]]
+        g["total"] = g["total"] / 10000.0
         return g
 
     # 5 segments → single partition is fine; keep the coarse pattern
@@ -123,7 +151,8 @@ def orders_by_segment(sf_dir: str):
 
 def orders_by_segment_sql() -> str:
     return ("SELECT c.c_mktsegment AS segment, count(*) AS n_orders,"
-            " floor(sum(o.o_totalprice) * 10000 + 0.5) / 10000 AS total"
+            " sum(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT))"
+            " / 10000.0 AS total"
             " FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
             " GROUP BY c.c_mktsegment")
 

@@ -314,21 +314,37 @@ ANNOTATE_ROWS_ONLY: dict[str, AnnotateOptions] = {}
 
 
 def _events_agg(sf_dir: str):
+    """Count + mean per event type.  avg_value uses the repo-wide
+    fixed-point convention (kgref.ops.relational): per-value half-up
+    4-decimal int64, exact integer Sum (order-independent), then
+    floor(sum4/n + 0.5)/10⁴ — identical double division on the SQL
+    side, so no accumulation-order or rounding-mode parity flakes."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Mean("value", alias_name="avg_value")
-    )
 
-    def rnd(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("avg_value")
-        return b.set_column(i, "avg_value", pc.round(b.column("avg_value"),
-                                                     ndigits=4))
+    def to_fx(b: pa.Table) -> pa.Table:
+        v4 = pc.cast(pc.floor(pc.add(pc.multiply(b.column("value"),
+                                                 10000.0), 0.5)), pa.int64())
+        return pa.Table.from_arrays([b.column("event_type"), v4],
+                                    names=["event_type", "v4"])
 
-    return out.map_batches(rnd, batch_format="pyarrow")
+    out = ds.map_batches(to_fx, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n_events"), Sum("v4", alias_name="v4"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg4 = pc.floor(pc.add(pc.divide(
+            pc.cast(b.column("v4"), pa.float64()),
+            pc.cast(b.column("n_events"), pa.float64())), 0.5))
+        return pa.Table.from_arrays(
+            [b.column("event_type"), b.column("n_events"),
+             pc.divide(avg4, 10000.0)],
+            names=["event_type", "n_events", "avg_value"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _top_users(sf_dir: str):
@@ -392,7 +408,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["events_agg"] = (
         "SELECT event_type, count(*) AS n_events,"
-        " round(avg(value), 4) AS avg_value FROM events GROUP BY event_type"
+        " floor(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))"
+        " / CAST(count(*) AS DOUBLE) + 0.5) / 10000.0 AS avg_value"
+        " FROM events GROUP BY event_type"
     )
     o["top_users"] = (
         "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
