@@ -151,6 +151,57 @@ class TermDictionary:
         return self.match_subword(utext)
 
 
+class RegexTermScanner:
+    """Second recognizer engine (SURVEY.md §2.10 plugin surface ≙ the
+    reference's alternative recognizers, e.g.
+    ref:lib/ncbo_annotator/recognizers/mallet.rb [M]): the same raw-match
+    contract as :class:`TermDictionary` but driven by the ``re`` module
+    instead of the token-window index / Aho–Corasick automaton.
+
+    Engine: terms are grouped BY LENGTH and each group becomes one
+    zero-width lookahead alternation ``(?=(t1|t2|…))`` — at a given
+    start position at most one term of a given length can match (the
+    substring is fixed), so one capture per position per length group
+    recovers ALL overlapping matches that a plain ``finditer`` would
+    collapse.  One C-speed scan per distinct term length.
+
+    Boundary semantics are identical to the whole-word matcher: a match
+    edge must fall on a token boundary only when the TERM edge char is a
+    word char ([A-Z0-9_]).
+    """
+
+    def __init__(self, term_ids_by_norm: dict[str, int]):
+        self.term_ids_by_norm = term_ids_by_norm
+        by_len: dict[int, list[str]] = {}
+        for term in term_ids_by_norm:
+            if term:
+                by_len.setdefault(len(term), []).append(term)
+        self._scans = [
+            (length, re.compile(
+                "(?=(" + "|".join(re.escape(t) for t in sorted(terms))
+                + "))"))
+            for length, terms in sorted(by_len.items())
+        ]
+
+    def match(self, utext: str, whole_word_only: bool = True) -> list[RawMatch]:
+        out: list[RawMatch] = []
+        word = _WORD_CHARS
+        ids = self.term_ids_by_norm
+        n = len(utext)
+        for length, rx in self._scans:
+            for m in rx.finditer(utext):
+                term = m.group(1)
+                s = m.start()
+                e = s + length
+                if whole_word_only:
+                    if term[0] in word and s > 0 and utext[s - 1] in word:
+                        continue
+                    if term[-1] in word and e < n and utext[e] in word:
+                        continue
+                out.append(RawMatch(ids[term], s, e))
+        return out
+
+
 class _AhoCorasick:
     """Minimal Aho–Corasick (goto/fail/output) over uppercased terms.
 

@@ -67,18 +67,34 @@ def _annotate_q(opts: AnnotateOptions,
     return lambda sf_dir: _annotate_ds(sf_dir, opts, digit_suffix)
 
 
+_QUERY_BUCKETS = 32
+
+
+def _bucketed(ds):
+    """Coarse-group shape shared with the production materialize path
+    (kgref/stages/materialize.py): shuffle on a small int bucket =
+    crc32(conv_id) % B, ONE vectorized pass per bucket — never one
+    pandas call per conversation (the per-group Python walk measured at
+    232 s/1.1M groups; see kgref/ops/pairs.py)."""
+    from .stages.materialize import add_bucket_column
+
+    return ds.map_batches(
+        lambda b: add_bucket_column(b, _QUERY_BUCKETS),
+        batch_format="pyarrow").groupby("bucket")
+
+
 def _conv_triple_counts(sf_dir: str):
     import pandas as pd
 
     t = _annotate_ds(sf_dir, AnnotateOptions())
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"conv_id": [df["conv_id"].iloc[0]], "n_triples": [len(df)],
-             "n_classes": [df["obj"].nunique()]}
-        )
+        # one vectorized C groupby over the whole bucket
+        return (df.groupby("conv_id", sort=False)["obj"]
+                .agg(n_triples="size", n_classes="nunique").reset_index())
 
-    return t.groupby("conv_id").map_groups(agg, batch_format="pandas")
+    return _bucketed(t).map_groups(
+        lambda df: agg(df.drop(columns=["bucket"])), batch_format="pandas")
 
 
 def _conv_turns(sf_dir: str):
@@ -93,20 +109,32 @@ def _conv_turns(sf_dir: str):
                                   turns_per_conv=docdict.TURNS_PER_CONV)
 
     def order(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("turn_idx", kind="mergesort")
+        return (df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                .drop(columns=["bucket"]))
 
-    return ds.groupby("conv_id").map_groups(order, batch_format="pandas")
+    return _bucketed(ds).map_groups(order, batch_format="pandas")
 
 
 def _conv_subgraph(sf_dir: str):
-    """Flagship shape: annotate → groupby(conv) → stable order + dedup
-    (the materialize stage's group fn, without the parquet sink)."""
-    from .stages.materialize import _order_dedup
+    """Flagship shape: annotate → bucketed conv groupby → stable order +
+    dedup, the same coarse exchange the materialize sink uses (a bucket
+    holds whole conversations, so a conv-leading multi-key sort gives
+    per-conv turn order exactly)."""
+    import pandas as pd
 
     t = _annotate_ds(
         sf_dir, AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
     )
-    return t.groupby("conv_id").map_groups(_order_dedup, batch_format="pandas")
+
+    def order_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
+             "match_type", "distance"], kind="mergesort")
+        df = df.drop_duplicates(
+            subset=["subj", "pred", "obj", "match_type"], keep="first")
+        return df.drop(columns=["bucket"])
+
+    return _bucketed(t).map_groups(order_dedup, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -47,9 +47,19 @@ def annotate_rows(
     texts: list[str],
     state: DictionaryState,
     opts: AnnotateOptions,
+    match_fn=None,
 ) -> pa.Table:
-    """Annotate a batch of turns → TRIPLES table.  Pure function (no Ray)."""
+    """Annotate a batch of turns → TRIPLES table.  Pure function (no Ray).
+
+    ``match_fn(utext, whole_word_only) -> list[RawMatch]`` is the
+    recognizer engine seam: default is the TermDictionary token-window /
+    AC matcher; RegexAnnotateTriples plugs kgref.matcher.RegexTermScanner
+    in here.  Everything downstream of raw matches (M4–M11, J1–J4, A4)
+    is engine-independent, mirroring the reference where recognizers
+    produce raw matches and the gem does filtering/expansion."""
     td = state.term_dictionary()
+    if match_fn is None:
+        match_fn = td.match
     term_classes = state.term_classes
     class_info = state.class_info
     closure = state.closure
@@ -82,7 +92,7 @@ def annotate_rows(
         if not text:
             continue
         utext = text.upper()  # M1
-        matches: list[RawMatch] = td.match(utext, opts.whole_word_only)  # M2/M3
+        matches: list[RawMatch] = match_fn(utext, opts.whole_word_only)  # M2/M3
         if not matches:
             continue
         if opts.longest_only:  # M7 (mgrep-level, before gem filters)
@@ -240,4 +250,30 @@ class AnnotateTriples:
             batch.column("text").to_pylist(),
             self.state,
             self.opts,
+        )
+
+
+class RegexAnnotateTriples(AnnotateTriples):
+    """Second recognizer through the plugin surface
+    (build_triples(recognizer=RegexAnnotateTriples)): raw matching runs
+    on compiled per-length regex alternations (kgref.matcher.
+    RegexTermScanner) instead of the token-window index; filtering,
+    expansion and canonicalization are shared.  Scanner compiled ONCE
+    per actor in __init__, like the automaton."""
+
+    def __init__(self, state, opts: AnnotateOptions | None = None):
+        super().__init__(state, opts)
+        from ..matcher import RegexTermScanner
+
+        self._scanner = RegexTermScanner(
+            self.state.term_dictionary().term_ids_by_norm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return annotate_rows(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("text").to_pylist(),
+            self.state,
+            self.opts,
+            match_fn=self._scanner.match,
         )

@@ -52,3 +52,32 @@ def test_option_permutation_matches_golden(env, key):
         f"{key}: missing={list(w - g)[:5]} extra={list(g - w)[:5]} "
         f"(|got|={len(g)} |want|={len(w)})"
     )
+
+
+@pytest.mark.parametrize("key", list(option_permutations().keys()))
+def test_regex_recognizer_matches_golden(env, key):
+    """Second recognizer (RegexTermScanner via the match_fn seam) must
+    reproduce the brute-force oracle goldens for every option
+    permutation — proves the plugin surface carries full semantics."""
+    from kgref.matcher import RegexTermScanner
+
+    state, tr, golden = env
+    opts = option_permutations()[key]
+    scanner = RegexTermScanner(state.term_dictionary().term_ids_by_norm)
+    got = annotate_rows(
+        tr.column("conv_id").to_pylist(),
+        tr.column("turn_idx").to_pylist(),
+        tr.column("text").to_pylist(),
+        state,
+        opts,
+        match_fn=scanner.match,
+    )
+    import pyarrow.compute as pc
+
+    want = golden.filter(pc.equal(golden["options_key"], key))
+    with_score = bool(opts.score)
+    g, w = _triple_set(got, with_score), _triple_set(want, with_score)
+    assert g == w, (
+        f"{key}: missing={list(w - g)[:5]} extra={list(g - w)[:5]} "
+        f"(|got|={len(g)} |want|={len(w)})"
+    )

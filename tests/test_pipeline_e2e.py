@@ -173,3 +173,31 @@ def test_stale_staging_from_crash_does_not_duplicate(run, fixture_bundle,
     run_pipeline(fixture_bundle["transcripts_dir"],
                  fixture_bundle["dict_dir"], crash_out, OPTS, CFG)
     assert triple_set(read_output(crash_out)) == want
+
+
+def test_recognizer_plugin_swaps_engine(ray_session, fixture_bundle):
+    """build_triples(recognizer=RegexAnnotateTriples) must produce the
+    exact triple set of the default AC/token-window recognizer — the
+    plugin surface is live, not vestigial."""
+    import ray
+
+    from kgref.pipelines.annotate_pipeline import build_triples
+    from kgref.sources.transcripts import read_transcripts
+    from kgref.stages.annotate import RegexAnnotateTriples
+    from kgref.state.dictionary import DictionaryState
+
+    state_ref = ray.put(DictionaryState.from_dir(fixture_bundle["dict_dir"]))
+    cfg = PipelineConfig(batch_size=512, annotate_concurrency=2)
+
+    import pyarrow as pa
+
+    from kgref.stages.annotate import AnnotateTriples
+
+    def collect(recognizer):
+        ds = read_transcripts(fixture_bundle["transcripts_dir"])
+        t = build_triples(ds, state_ref, OPTS, cfg, recognizer=recognizer)
+        return triple_set(pa.Table.from_pylist(t.take_all()))
+
+    default = collect(recognizer=AnnotateTriples)
+    regex = collect(recognizer=RegexAnnotateTriples)
+    assert default and default == regex
