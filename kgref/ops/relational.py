@@ -110,20 +110,21 @@ def orders_by_segment(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
-                      cust.column("c_mktsegment").to_pylist()))
-    ref = ray.put(seg_of)
+    ref = ray.put((cust.column("c_custkey").combine_chunks(),
+                   cust.column("c_mktsegment").combine_chunks()))
 
     class AttachSegment:
         def __init__(self, ref):
-            self.seg_of = ray.get(ref)
+            self.keys, self.segs = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg_of.get(k, "") for k in
-                    batch.column("o_custkey").to_pylist()]
+            # vectorized broadcast lookup: index_in + take (C kernels),
+            # not a Python dict probe per row
+            idx = pc.index_in(batch.column("o_custkey"),
+                              value_set=self.keys)
+            segs = pc.fill_null(self.segs.take(idx), "")
             return pa.Table.from_arrays(
-                [pa.array(segs, pa.string()),
-                 batch.column("o_totalprice")],
+                [segs, batch.column("o_totalprice")],
                 names=["segment", "o_totalprice"])
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",

@@ -12,8 +12,6 @@ DuckDB strings below.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -62,9 +60,18 @@ def token_stats(sf_dir: str):
             _BPE_RE = re.compile(BPE_PATTERN)
         toks = _tokens_column(batch)
         n_tok = pc.cast(pc.list_value_length(toks), pa.int32())
+        # vectorized per-row distinct count: dictionary-encode the flat
+        # token array, lexsort (row, code), count first-in-run entries
+        codes = pc.dictionary_encode(toks.flatten()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(batch)),
+                            pc.list_value_length(toks).to_numpy())
+        order = np.lexsort((codes, parents))
+        ps, cs = parents[order], codes[order]
+        first = np.ones(len(ps), dtype=bool)
+        first[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
         n_distinct = pa.array(
-            [len(set(row)) for row in toks.to_pylist()], pa.int32()
-        )
+            np.bincount(ps[first], minlength=len(batch)).astype(np.int32))
         n_bpe = pa.array(
             [len(_BPE_RE.findall(t))
              for t in batch.column("text").to_pylist()], pa.int32()
@@ -211,35 +218,51 @@ FP_MOD = (1 << 61) - 1
 FP_WINDOW = 8
 
 
+def _poly_window_min(hs: np.ndarray, pows: np.ndarray) -> tuple[int, int]:
+    """Min over sliding-window polynomial hashes, vectorized: the
+    window value Σ_j h[i+j]·B^(W-1-j) mod M61 is one mulmod + one
+    reduced sum over a stride-tricks window view — no per-window Python.
+    Returns (min_hash, n_windows)."""
+    from .dedup import _mulmod_m61
+
+    p = np.uint64(FP_MOD)
+    W = min(FP_WINDOW, len(hs))
+    win = np.lib.stride_tricks.sliding_window_view(hs, W)  # (n-W+1, W)
+    terms = _mulmod_m61(win, pows[len(pows) - W:][None, :])
+    s = terms.sum(axis=1)  # ≤ 8·(2^61-1) < 2^64: no wrap
+    s = (s & p) + (s >> np.uint64(61))
+    s = (s & p) + (s >> np.uint64(61))
+    s = np.where(s >= p, s - p, s)
+    return int(s.min()), len(s)
+
+
 def doc_fingerprint(sf_dir: str):
     """Winnowing-style fingerprint: rolling polynomial hash over token
     hashes, min over FP_WINDOW-grams (rows-only check — the hash
-    function is not SQL-replicable)."""
+    function is not SQL-replicable).  Token hashes are memoized
+    (kgref.ops.dedup._token_hash64) and window hashes are computed with
+    one vectorized Mersenne mulmod per document — bit-identical to the
+    original Horner loop (same Σ h_j·B^(W-1-j) mod M61)."""
     import ray.data as rd
+
+    from .dedup import _token_hash64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    pows = np.empty(FP_WINDOW, dtype=np.uint64)  # B^(W-1) … B^0 mod M61
+    acc = 1
+    for i in range(FP_WINDOW):
+        pows[FP_WINDOW - 1 - i] = acc
+        acc = (acc * FP_BASE) % FP_MOD
 
     def fp(batch: pa.Table) -> pa.Table:
         out_fp, out_n = [], []
         for text in batch.column("text").to_pylist():
-            hs = [int.from_bytes(hashlib.blake2b(t.encode(),
-                                                 digest_size=8).digest(),
-                                 "big") % FP_MOD
-                  for t in text.split(" ")]
-            if len(hs) < FP_WINDOW:
-                windows = [hs]
-            else:
-                windows = [hs[i : i + FP_WINDOW]
-                           for i in range(len(hs) - FP_WINDOW + 1)]
-            mins = []
-            for w in windows:
-                acc = 0
-                for h in w:
-                    acc = (acc * FP_BASE + h) % FP_MOD
-                mins.append(acc)
-            out_fp.append(f"{min(mins):016x}")
-            out_n.append(len(windows))
+            hs = np.array([_token_hash64(t) % FP_MOD
+                           for t in text.split(" ")], dtype=np.uint64)
+            mn, n = _poly_window_min(hs, pows)
+            out_fp.append(f"{mn:016x}")
+            out_n.append(n)
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(out_fp, pa.string()),
              pa.array(out_n, pa.int64())],
