@@ -238,3 +238,28 @@ def test_decode_stub_rejects_real_formats():
 
     with pytest.raises(NotImplementedError):
         MediaFeatures()._decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_media_codecs_roundtrip():
+    """Real pure-Python codecs: encode → decode recovers the samples."""
+    from kgref.ops.multimodal import (
+        decode_bmp, decode_ppm, decode_wav,
+        encode_bmp, encode_ppm, encode_wav,
+    )
+
+    rng = np.random.RandomState(9)
+    for w, h in [(16, 16), (17, 5), (31, 23), (1, 1)]:  # odd widths → padding
+        pix = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(pix)) == pix.reshape(-1)).all()
+        assert (decode_ppm(encode_ppm(pix)) == pix.reshape(-1)).all()
+    s = rng.randint(-32768, 32768, 777).astype(np.int16)
+    assert (decode_wav(encode_wav(s)) == s).all()
+
+
+def test_media_decode_dispatch_real_formats():
+    from kgref.ops.multimodal import MediaFeatures, encode_wav
+
+    mf = MediaFeatures()
+    s = np.arange(-100, 100, dtype=np.int16)
+    out = mf._decode(encode_wav(s))
+    assert out.dtype == np.uint8 and len(out) == len(s)
