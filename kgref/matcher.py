@@ -10,9 +10,14 @@ ST1).  No Ray imports here — unit-testable standalone.
 
 Matching semantics (pinned; SURVEY.md §7 "hard parts" 1–2):
 
-- Text and dictionary terms are uppercased (M1).  Uppercasing is
-  length-preserving for ASCII; fixtures stay ASCII like the reference's
-  (non-1:1 Unicode case folds are a documented limitation).
+- Text and dictionary terms are uppercased with ``fold_upper`` (M1): a
+  LENGTH-PRESERVING fold (expanding case maps like 'ß'→'SS' keep the
+  original character) applied identically to text and dictionary, so
+  non-ASCII input cannot shift offsets.  Offset convention: from/to are
+  Unicode CODE POINT positions into the ORIGINAL text (1-based
+  inclusive at the output layer).  Token-boundary chars remain the
+  ASCII ``[A-Z0-9_]`` set — non-ASCII letters are boundary-neutral,
+  matching mgrep's byte-oriented boundary behavior.
 - ``whole_word_only=True`` (mgrep 'longword' flag Y, the default): a match
   must start and end on token boundaries, where tokens are maximal runs of
   ``[A-Z0-9_]``.  Implementation: token-window scan — for each token i,
@@ -41,6 +46,35 @@ import pyarrow as pa
 TOKEN_RE = re.compile(r"[A-Z0-9_]+")
 _NUMERIC_RE = re.compile(r"[0-9]+\Z")
 _WORD_CHARS = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+_FOLD_CACHE: dict[str, str] = {}
+
+
+def fold_upper(text: str) -> str:
+    """Length-preserving uppercase fold (offset convention: all match
+    offsets are UNICODE CODE POINT positions into the ORIGINAL text).
+
+    ``str.upper()`` is not length-preserving outside ASCII ('ß'→'SS',
+    'ﬁ'→'FI'), which would shift every downstream 1-based offset.  This
+    fold uppercases per code point and keeps the original character
+    whenever its uppercase expands, so ``len(fold_upper(t)) == len(t)``
+    always.  ASCII text (the reference corpus) takes the C fast path and
+    is bit-identical to ``upper()``.  Dictionary normalization MUST use
+    the same fold (see dictionary_build) so both sides agree on
+    expanding characters."""
+    if text.isascii():
+        return text.upper()
+    out = _FOLD_CACHE.get(text) if len(text) <= 64 else None
+    if out is not None:
+        return out
+    chars = []
+    for ch in text:
+        up = ch.upper()
+        chars.append(up if len(up) == 1 else ch)
+    out = "".join(chars)
+    if len(text) <= 64 and len(_FOLD_CACHE) < 100_000:
+        _FOLD_CACHE[text] = out
+    return out
 
 
 @dataclass(frozen=True)

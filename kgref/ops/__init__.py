@@ -5,11 +5,20 @@ annotator (SURVEY.md §2), registered into the driver contract by
 
 from __future__ import annotations
 
-from . import dedup, events, multimodal, relational, similarity, textstats
+from . import (
+    dedup,
+    events,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    textstats,
+)
 
 
 def register_queries(q: dict) -> None:
     dedup.register(q)
+    sampling.register(q)
     similarity.register(q)
     textstats.register(q)
     multimodal.register(q)
@@ -19,6 +28,7 @@ def register_queries(q: dict) -> None:
 
 def register_oracles(o: dict) -> None:
     dedup.register({}, o)
+    sampling.register({}, o)
     similarity.register({}, o)
     textstats.register({}, o)
     events.register({}, o)

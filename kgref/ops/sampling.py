@@ -1,0 +1,73 @@
+"""Deterministic corpus sampling — the scale-safe way to subsample a
+training corpus: a Bernoulli keep-decision from an integer hash of the
+stable row key.  No RNG state, no shuffle, no coordination: any worker
+decides any row identically, resumable runs sample identically, and the
+sample rate is exact in expectation per hash bucket.
+
+Hash: splitmix64 (public-domain finalizer; Steele et al., "Fast
+Splittable Pseudorandom Number Generators", OOPSLA 2014) — vectorized in
+numpy uint64 on the Ray side and replicated EXACTLY in DuckDB via
+HUGEINT split-multiply arithmetic, so the driver's value-hash gate
+compares identical row sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SAMPLE_PCT = 20  # keep ~20% of documents
+
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+_M64 = 1 << 64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    z = x.astype(np.uint64) + np.uint64(_C1)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(_C2)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_C3)
+    return z ^ (z >> np.uint64(31))
+
+
+def sample_docs(sf_dir: str, pct: int = SAMPLE_PCT):
+    """Deterministic pct% Bernoulli sample of documents (metadata
+    columns only — the read prunes text)."""
+    import ray.data as rd
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = splitmix64(batch.column("doc_id").to_numpy().astype(np.uint64))
+        return batch.filter(pa.array(h % np.uint64(100) < pct))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_mul64(a: str, b: int) -> str:
+    """(a * b) mod 2^64 in DuckDB HUGEINT (signed int128): split the
+    variable operand at 2^32 so every partial product stays < 2^97."""
+    return (f"(( ({a}) % 4294967296 ) * {b} + "
+            f"(( ({a}) // 4294967296 ) * {b} % 4294967296) * 4294967296) "
+            f"% 18446744073709551616")
+
+
+def sample_docs_sql(pct: int = SAMPLE_PCT) -> str:
+    z1 = f"(CAST(doc_id AS HUGEINT) + {_C1}) % {_M64}"
+    z2 = _sql_mul64(f"xor(z1, z1 // {1 << 30})", _C2)
+    z3 = _sql_mul64(f"xor(z2, z2 // {1 << 27})", _C3)
+    return f"""
+WITH s1 AS (SELECT doc_id, lang, source, n_chars, {z1} AS z1 FROM documents),
+s2 AS (SELECT *, {z2} AS z2 FROM s1),
+s3 AS (SELECT *, {z3} AS z3 FROM s2)
+SELECT doc_id, lang, source, n_chars
+FROM s3 WHERE xor(z3, z3 // {1 << 31}) % 100 < {pct}
+"""
+
+
+def register(q: dict, o: dict | None = None) -> None:
+    q["sample_docs"] = sample_docs
+    if o is not None:
+        o["sample_docs"] = sample_docs_sql()

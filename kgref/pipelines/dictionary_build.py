@@ -33,23 +33,26 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..matcher import fold_upper
 from ..schemas import ISA_CLOSURE, LABELS
 
 
 def explode_labels(batch: pa.Table) -> pa.Table:
-    """(class × label-surface) rows, uppercased (M1/U1)."""
+    """(class × label-surface) rows, uppercased with the same
+    length-preserving fold the matcher applies to text (M1/U1) — both
+    sides must agree on characters whose uppercase expands."""
     terms, uris, onts, mts = [], [], [], []
     for uri, ont, pref, syns in zip(batch.column("class_uri").to_pylist(),
                                     batch.column("ontology").to_pylist(),
                                     batch.column("pref_label").to_pylist(),
                                     batch.column("synonyms").to_pylist()):
         if pref:
-            terms.append(pref.upper())
+            terms.append(fold_upper(pref))
             uris.append(uri)
             onts.append(ont)
             mts.append("PREF")
         for s in syns or []:
-            terms.append(s.upper())
+            terms.append(fold_upper(s))
             uris.append(uri)
             onts.append(ont)
             mts.append("SYN")

@@ -28,7 +28,7 @@ import math
 
 import pyarrow as pa
 
-from ..matcher import RawMatch, longest_only_filter, raw_filter
+from ..matcher import RawMatch, fold_upper, longest_only_filter, raw_filter
 from ..schemas import TRIPLES, AnnotateOptions
 from ..state.dictionary import DictionaryState
 
@@ -91,7 +91,8 @@ def annotate_rows(
     for conv_id, turn_idx, text in zip(conv_ids, turn_idxs, texts):
         if not text:
             continue
-        utext = text.upper()  # M1
+        utext = fold_upper(text)  # M1 (length-preserving: offsets are
+        # code-point positions into the ORIGINAL text — see matcher)
         matches: list[RawMatch] = match_fn(utext, opts.whole_word_only)  # M2/M3
         if not matches:
             continue

@@ -154,3 +154,27 @@ def test_irregular_edge_terms_match_oracle_semantics():
         want = {(s, e, tid) for t, tid in terms.items()
                 for s, e in _find_all(utext, t, True)}
         assert got == want, (utext, got, want)
+
+
+def test_fold_upper_is_length_preserving():
+    from kgref.matcher import fold_upper
+
+    assert fold_upper("hash join") == "HASH JOIN"  # ASCII fast path
+    for s in ["straße", "ﬁle", "café au lait", "ǌob"]:
+        f = fold_upper(s)
+        assert len(f) == len(s), (s, f)
+    assert fold_upper("straße") == "STRAßE"   # 'ß'.upper() expands → kept
+    assert fold_upper("café") == "CAFÉ"       # 1:1 maps still fold
+
+
+def test_non_ascii_term_matches_with_code_point_offsets():
+    """Dictionary and text share fold_upper, so accented surfaces match
+    and offsets stay code-point positions into the original text."""
+    from kgref.matcher import TermDictionary, fold_upper
+
+    td = TermDictionary({fold_upper("café"): 1, fold_upper("straße"): 2})
+    text = "un café à straße"
+    ms = sorted(td.match(fold_upper(text)), key=lambda m: m.start0)
+    assert [(m.term_id, m.start0, m.end0) for m in ms] == [
+        (1, 3, 7), (2, 10, 16)]
+    assert text[3:7] == "café" and text[10:16] == "straße"

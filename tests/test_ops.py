@@ -263,3 +263,28 @@ def test_media_decode_dispatch_real_formats():
     s = np.arange(-100, 100, dtype=np.int16)
     out = mf._decode(encode_wav(s))
     assert out.dtype == np.uint8 and len(out) == len(s)
+
+
+def test_sample_docs_deterministic_and_exact(ray_session):
+    """Hash-Bernoulli sample: same rows on every run, rate ≈ pct, and
+    the keep decision matches an independent big-int splitmix64."""
+    from kgref.ops.sampling import SAMPLE_PCT, sample_docs, splitmix64
+
+    got = sample_docs(SF).to_pandas()
+    again = sample_docs(SF).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    M = 1 << 64
+
+    def sm64(x):  # reference big-int implementation
+        z = (x + 0x9E3779B97F4A7C15) % M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % M
+        return z ^ (z >> 31)
+
+    all_ids = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    want = {i for i in all_ids if sm64(i) % 100 < SAMPLE_PCT}
+    assert set(got["doc_id"]) == want
+    assert 0 < len(want) < len(all_ids)
+    h = splitmix64(np.array(all_ids, dtype=np.uint64))
+    assert all(int(h[k]) == sm64(i) for k, i in enumerate(all_ids[:50]))
