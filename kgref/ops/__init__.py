@@ -9,6 +9,7 @@ from . import (
     dedup,
     events,
     multimodal,
+    normalize,
     relational,
     sampling,
     similarity,
@@ -18,6 +19,7 @@ from . import (
 
 def register_queries(q: dict) -> None:
     dedup.register(q)
+    normalize.register(q)
     sampling.register(q)
     similarity.register(q)
     textstats.register(q)
@@ -28,6 +30,7 @@ def register_queries(q: dict) -> None:
 
 def register_oracles(o: dict) -> None:
     dedup.register({}, o)
+    normalize.register({}, o)
     sampling.register({}, o)
     similarity.register({}, o)
     textstats.register({}, o)

@@ -178,3 +178,20 @@ def test_non_ascii_term_matches_with_code_point_offsets():
     assert [(m.term_id, m.start0, m.end0) for m in ms] == [
         (1, 3, 7), (2, 10, 16)]
     assert text[3:7] == "café" and text[10:16] == "straße"
+
+
+@settings(max_examples=300, deadline=None)
+@given(term_set(), text_from_words())
+def test_regex_engine_equals_index_engine(terms, utext):
+    """Recognizer-engine equivalence property: the per-length-lookahead
+    regex scanner and the token-window/AC index must produce identical
+    raw match sets on arbitrary dictionaries and texts, in both
+    whole-word and subword modes."""
+    from kgref.matcher import RegexTermScanner
+
+    td = TermDictionary(terms)
+    rx = RegexTermScanner(terms)
+    for ww in (True, False):
+        a = {(m.term_id, m.start0, m.end0) for m in td.match(utext, ww)}
+        b = {(m.term_id, m.start0, m.end0) for m in rx.match(utext, ww)}
+        assert a == b, (ww, sorted(a ^ b))

@@ -288,3 +288,28 @@ def test_sample_docs_deterministic_and_exact(ray_session):
     assert 0 < len(want) < len(all_ids)
     h = splitmix64(np.array(all_ids, dtype=np.uint64))
     assert all(int(h[k]) == sm64(i) for k, i in enumerate(all_ids[:50]))
+
+
+def test_normalize_docs_recovers_clean_text(ray_session):
+    """The messied view (upper + doubled spaces + padding) must
+    normalize back to the original byte-identical text."""
+    from kgref.ops.normalize import normalize_docs
+
+    got = normalize_docs(SF).to_pandas().set_index("doc_id")["text_norm"]
+    orig = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")["text"]
+    assert got.sort_index().tolist() == orig.sort_index().tolist()
+
+
+def test_normalize_batch_unicode_nfc():
+    from kgref.ops.normalize import normalize_batch
+    import pyarrow as pa
+
+    # decomposed e + combining acute → NFC composed; case + ws collapse
+    import unicodedata
+
+    messy_str = "  CAFE" + "\u0301" + "   au   LAIT "  # decomposed e+´
+    want = unicodedata.normalize("NFC", "cafe\u0301 au lait")
+    out = normalize_batch(pa.array([messy_str])).to_pylist()[0]
+    assert out == want and len(out) == len("cafe au lait")  # composed é
