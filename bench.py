@@ -103,7 +103,8 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
         n_triples = triples.count()
     else:
         metrics = materialize_conversations(triples, out_dir, cfg,
-                                            lineage={"bench": True})
+                                            lineage={"bench": True},
+                                            unscored=not cfg.options.score)
         n_triples = metrics["rows"]
     wall = time.time() - t0
     return {"sec": round(wall, 3), "turns": n_turns,

@@ -139,7 +139,8 @@ def run_pipeline(
             transcripts = filter_to_buckets(transcripts, wave_buckets, B)
         triples = build_triples(transcripts, state_ref, opts, cfg)
         m = materialize_conversations(triples, out_dir, cfg, hot=hot,
-                                      lineage=dict(lineage, wave=w))
+                                      lineage=dict(lineage, wave=w),
+                                      unscored=not opts.score)
         totals["buckets"] += m["buckets"]
         totals["rows"] += m["rows"]
         totals["wall_sec"] = round(totals["wall_sec"] + m["wall_sec"], 3)

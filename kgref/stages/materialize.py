@@ -33,6 +33,7 @@ import os
 import time
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -248,6 +249,12 @@ def _order_dedup_bucket(t: pa.Table,
             pc.cast(t.column("from_1b"), pa.string()), "/"),
         pc.cast(t.column("to_1b"), pa.string()), "-")
     t = t.add_column(0, "subj", subj)
+    if "score" not in t.column_names:
+        # unscored runs drop the constant-0.0 column before the
+        # exchange (~8 B/row of shuffle bytes); re-add for the contract
+        t = t.append_column(
+            "score", pa.array(np.zeros(t.num_rows) if t.num_rows else [],
+                              pa.float64()))
 
     if stats_dir is not None and t.num_rows:
         bid = int(t.column("bucket")[0].as_py())
@@ -268,6 +275,7 @@ def materialize_conversations(
     *,
     hot: dict[str, int] | None = None,
     lineage: dict | None = None,
+    unscored: bool = False,
 ) -> dict:
     """Group → order → dedup → partitioned write + per-bucket manifests.
 
@@ -295,8 +303,11 @@ def materialize_conversations(
     os.makedirs(stats_dir, exist_ok=True)
 
     # subj is derivable from (conv, turn, span) — don't ship ~25
-    # redundant bytes/row through the exchange; re-derived per bucket
-    salted = add_salt_column(triples.drop_columns(["subj"]), hot or {},
+    # redundant bytes/row through the exchange; re-derived per bucket.
+    # Unscored runs also drop the constant-0.0 score column (re-added
+    # vectorized after the exchange).
+    drop = ["subj", "score"] if unscored else ["subj"]
+    salted = add_salt_column(triples.drop_columns(drop), hot or {},
                              cfg.salt_chunk)
     salted = salted.map_batches(lambda b: add_bucket_column(b, B),
                                 batch_format="pyarrow")
