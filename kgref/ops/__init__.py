@@ -14,6 +14,7 @@ from . import (
     sampling,
     similarity,
     textstats,
+    vocab,
 )
 
 
@@ -26,6 +27,7 @@ def register_queries(q: dict) -> None:
     multimodal.register(q)
     events.register(q)
     relational.register(q)
+    vocab.register(q)
 
 
 def register_oracles(o: dict) -> None:
@@ -36,3 +38,4 @@ def register_oracles(o: dict) -> None:
     textstats.register({}, o)
     events.register({}, o)
     relational.register({}, o)
+    vocab.register({}, o)

@@ -313,3 +313,17 @@ def test_normalize_batch_unicode_nfc():
     want = unicodedata.normalize("NFC", "cafe\u0301 au lait")
     out = normalize_batch(pa.array([messy_str])).to_pylist()[0]
     assert out == want and len(out) == len("cafe au lait")  # composed é
+
+
+def test_vocab_topk_counts_match_python(ray_session):
+    from collections import Counter
+
+    from kgref.ops.vocab import vocab_topk
+
+    got = vocab_topk(SF).to_pandas()
+    c = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["text"]).column("text").to_pylist():
+        c.update(t.split(" "))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    assert list(zip(got["token"], got["n_total"])) == want
