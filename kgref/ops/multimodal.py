@@ -45,6 +45,9 @@ FEATURES = pa.schema(
         ("media_bytes", pa.int64()),
         ("n_frames", pa.int32()),
         ("features", pa.list_(pa.float32(), 16)),  # 16-bin sample histogram
+        # mean intensity of an 8×8 nearest-neighbor thumbnail (images;
+        # 0.0 for audio/video) — exercises the real resize stage
+        ("thumb_mean", pa.float32()),
     ]
 )
 
@@ -159,6 +162,15 @@ def decode_wav(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor image resize on an (h, w, 3) uint8 array — pure
+    numpy index gather (the standard pre-augmentation downsample)."""
+    h, w, _ = pixels.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return pixels[yi[:, None], xi[None, :]]
+
+
 def attach_fake_media(ds):
     """Deterministically synthesize a binary media column from text:
     sha256-expanded bytes rendered as REAL format files — BMP (even
@@ -229,10 +241,14 @@ class MediaFeatures:
             "(supported: BMP, PPM/P6, 16-bit PCM WAVE, KGF1 raw frames)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, mtypes, nbytes, nframes, feats = [], [], [], [], []
-        for did, mt, payload in zip(batch.column("doc_id").to_pylist(),
-                                    batch.column("media_type").to_pylist(),
-                                    batch.column("payload").to_pylist()):
+        doc_ids, mtypes, nbytes, nframes, feats, thumbs = \
+            [], [], [], [], [], []
+        for did, mt, payload, w, h in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("media_type").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("width").to_pylist(),
+                batch.column("height").to_pylist()):
             body = self._decode(payload)
             hist, _ = np.histogram(body, bins=self._bins)
             total = max(1, hist.sum())
@@ -243,11 +259,17 @@ class MediaFeatures:
             nframes.append(max(1, len(body) // FRAME_BYTES) if mt == "video"
                            else 1)
             feats.append((hist / total).astype(np.float32))
+            if mt == "image" and len(body) == w * h * 3:
+                thumb = resize_nearest(body.reshape(h, w, 3), 8, 8)
+                thumbs.append(np.float32(thumb.mean()))
+            else:
+                thumbs.append(np.float32(0.0))
         return pa.Table.from_arrays(
             [pa.array(doc_ids, pa.int64()), pa.array(mtypes, pa.string()),
              pa.array(nbytes, pa.int64()), pa.array(nframes, pa.int32()),
              pa.array(np.stack(feats).tolist() if feats else [],
-                      pa.list_(pa.float32(), 16))],
+                      pa.list_(pa.float32(), 16)),
+             pa.array(thumbs, pa.float32())],
             schema=FEATURES,
         )
 

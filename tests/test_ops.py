@@ -327,3 +327,17 @@ def test_vocab_topk_counts_match_python(ray_session):
         c.update(t.split(" "))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     assert list(zip(got["token"], got["n_total"])) == want
+
+
+def test_resize_nearest_shapes_and_identity():
+    from kgref.ops.multimodal import resize_nearest
+
+    rng = np.random.RandomState(4)
+    pix = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert resize_nearest(pix, 30, 20).shape == (20, 30, 3)
+    assert (resize_nearest(pix, 30, 20) == pix).all()  # identity size
+    small = resize_nearest(pix, 8, 8)
+    assert small.shape == (8, 8, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    flat_in = {tuple(p) for p in pix.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
