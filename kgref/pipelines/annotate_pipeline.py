@@ -88,6 +88,7 @@ def run_pipeline(
     out_dir: str,
     opts: AnnotateOptions | None = None,
     cfg: PipelineConfig | None = None,
+    recognizer: type = AnnotateTriples,
 ) -> dict:
     """Full job: returns the materialization metrics dict.
 
@@ -137,7 +138,8 @@ def run_pipeline(
         transcripts = read_transcripts(transcripts_path)
         if len(wave_buckets) < B:
             transcripts = filter_to_buckets(transcripts, wave_buckets, B)
-        triples = build_triples(transcripts, state_ref, opts, cfg)
+        triples = build_triples(transcripts, state_ref, opts, cfg,
+                                recognizer=recognizer)
         m = materialize_conversations(triples, out_dir, cfg, hot=hot,
                                       lineage=dict(lineage, wave=w),
                                       unscored=not opts.score)

@@ -52,6 +52,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--score", default="", choices=["", "old", "cvalue",
                                                    "cvalueh"])
     p.add_argument("--score-threshold", type=float, default=0.0)
+    p.add_argument("--recognizer", default="index",
+                   choices=["index", "regex"],
+                   help="raw-match engine: token-window/AC index "
+                        "(default) or the regex scanner (§2.10 plugin)")
     p.add_argument("--hot-conv-rows", type=int, default=50_000)
     p.add_argument("--salt-chunk", type=int, default=8_192)
     return p.parse_args(argv)
@@ -94,8 +98,12 @@ def main(argv: list[str] | None = None) -> int:
         salt_chunk=args.salt_chunk,
         options=opts,
     )
+    from .stages.annotate import AnnotateTriples, RegexAnnotateTriples
+
+    recognizer = (RegexAnnotateTriples if args.recognizer == "regex"
+                  else AnnotateTriples)
     metrics = run_pipeline(args.transcripts, args.dict_dir, args.out, opts,
-                           cfg)
+                           cfg, recognizer=recognizer)
     print(json.dumps(metrics))
     ray.shutdown()
     return 0
