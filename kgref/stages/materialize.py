@@ -321,7 +321,12 @@ def materialize_conversations(
     )
     grouped = grouped.drop_columns(["salt"])
 
-    grouped.write_parquet(staging, partition_cols=["bucket"])
+    # zstd over the default snappy: measured wall-neutral on this host
+    # (25-27 s either way at REP=64 under equal load) but ~30% smaller
+    # files (427→297 MB) — at 100 TB that is the cheaper storage AND
+    # the cheaper downstream re-read
+    grouped.write_parquet(staging, partition_cols=["bucket"],
+                          compression="zstd")
     if _dbg:
         print(f"[materialize] shuffle+write {time.time() - t0:.1f}s",
               file=__import__('sys').stderr, flush=True)
