@@ -22,6 +22,21 @@ def read_transcripts(path: str | list[str], *, columns: list[str] | None = None,
     )
 
 
+def read_transcripts_jsonl(path: str | list[str], *,
+                           columns: list[str] | None = None) -> rd.Dataset:
+    """JSON-lines transcripts source (one turn object per line) — the
+    common log-export shape.  Projection happens right after parse
+    (JSON readers cannot push projection into the file), so only the
+    annotate columns flow downstream."""
+    ds = rd.read_json(path)
+    keep = columns or ANNOTATE_COLUMNS
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(keep)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
                              override_num_blocks: int | None = None,
                              digit_suffix_mod: int | None = None) -> rd.Dataset:

@@ -201,3 +201,39 @@ def test_recognizer_plugin_swaps_engine(ray_session, fixture_bundle):
     default = collect(recognizer=AnnotateTriples)
     regex = collect(recognizer=RegexAnnotateTriples)
     assert default and default == regex
+
+
+def test_jsonl_source_feeds_the_pipeline(ray_session, fixture_bundle,
+                                         tmp_path_factory):
+    """A JSONL export of the fixture transcripts must produce the same
+    triples as the parquet source."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray
+
+    from kgref.pipelines.annotate_pipeline import build_triples
+    from kgref.sources.transcripts import (
+        read_transcripts,
+        read_transcripts_jsonl,
+    )
+    from kgref.state.dictionary import DictionaryState
+
+    src = pq.read_table(sorted(glob.glob(
+        fixture_bundle["transcripts_dir"] + "/*.parquet")))
+    jdir = tmp_path_factory.mktemp("jsonl")
+    with open(jdir / "t.jsonl", "w") as fh:
+        for row in src.to_pylist():
+            fh.write(_json.dumps({k: row[k] for k in
+                                  ("conv_id", "turn_idx", "text")}) + "\n")
+
+    state_ref = ray.put(DictionaryState.from_dir(fixture_bundle["dict_dir"]))
+    cfg = PipelineConfig(batch_size=512, annotate_concurrency=2)
+
+    def collect(ds):
+        t = build_triples(ds, state_ref, OPTS, cfg)
+        return triple_set(pa.Table.from_pylist(t.take_all()))
+
+    a = collect(read_transcripts(fixture_bundle["transcripts_dir"]))
+    b = collect(read_transcripts_jsonl(str(jdir / "t.jsonl")))
+    assert a and a == b
