@@ -115,6 +115,37 @@ def _conv_turns(sf_dir: str):
     return _bucketed(ds).map_groups(order, batch_format="pandas")
 
 
+def _class_frequencies(sf_dir: str):
+    """Per-(class, pred) corpus annotation counts — the summary table a
+    KG-construction run reports.  Combiner pattern on the flagship
+    output: each triple batch pre-aggregates (obj, pred) counts with
+    Arrow value_counts over the dictionary codes, so the exchange moves
+    one row per distinct (class, pred) per batch, never per triple."""
+    t = _annotate_ds(
+        sf_dir, AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(batch.column("obj"),
+                                          batch.column("pred"), "\x1f")
+        enc = pc.dictionary_encode(key)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = pc.value_counts(enc.indices)
+        keys = enc.dictionary.take(counts.field("values"))
+        split = pc.split_pattern(keys, "\x1f")
+        return pa.Table.from_arrays(
+            [pc.list_element(split, 0), pc.list_element(split, 1),
+             pc.cast(counts.field("counts"), pa.int64())],
+            names=["obj", "pred", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (t.map_batches(partial, batch_format="pyarrow")
+            .groupby(["obj", "pred"]).aggregate(Sum("n", alias_name="n_annotations")))
+
+
 def _conv_subgraph(sf_dir: str):
     """Flagship shape: annotate → bucketed conv groupby → stable order +
     dedup, the same coarse exchange the materialize sink uses (a bucket
@@ -403,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_turns"] = _conv_turns
     q["conv_triple_counts"] = _conv_triple_counts
     q["conv_subgraph"] = _conv_subgraph
+    q["class_frequencies"] = _class_frequencies
     q["events_agg"] = _events_agg
     q["top_users"] = _top_users
 
@@ -433,6 +465,12 @@ def oracle_sql() -> dict[str, str]:
     # re-orders and dedups; the value set is order-insensitively compared)
     o["conv_subgraph"] = annotate_oracle_sql(
         AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
+    )
+    o["class_frequencies"] = (
+        "SELECT obj, pred, count(*) AS n_annotations FROM ("
+        + annotate_oracle_sql(
+            AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True))
+        + ") GROUP BY obj, pred"
     )
     o["events_agg"] = (
         "SELECT event_type, count(*) AS n_events,"

@@ -214,6 +214,7 @@ class PipelineConfig:
     # 10^12 turns should run waves ≫ 1; local benches keep 1.
     batch_size: int = 1024  # rows per matcher batch (match fan-out aware)
     annotate_concurrency: int | tuple[int, int] = 4  # actor pool size
-    hot_conv_rows: int = 50_000  # salting threshold (triples per conv)
+    hot_conv_rows: int = 50_000  # salting threshold (TURNS per conv —
+    # counted on the input conv_id column before the fan-out)
     salt_chunk: int = 8_192  # range-salt: salt = turn_idx // salt_chunk
     options: AnnotateOptions = field(default_factory=AnnotateOptions)
