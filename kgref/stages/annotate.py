@@ -273,7 +273,15 @@ def _annotate_rows_fast(
 
     Row order differs from the scored path's emission order; every
     consumer (driver hash gate, bucket sort+dedup, golden set
-    compares) is order-insensitive."""
+    compares) is order-insensitive.
+
+    Recognizer contract: ``match_fn`` must emit each (term_id, span) at
+    most once per text — both built-in engines guarantee this (the
+    window scan visits each span once; AC terminal outputs are unique
+    along fail chains; the regex scanner yields one hit per position
+    per length group).  A third-party recognizer that duplicates
+    matches would duplicate rows here, where the scored path's seen-map
+    would have absorbed them."""
     import numpy as np
     import pyarrow.compute as pc
 
