@@ -81,3 +81,35 @@ def test_regex_recognizer_matches_golden(env, key):
         f"{key}: missing={list(w - g)[:5]} extra={list(g - w)[:5]} "
         f"(|got|={len(g)} |want|={len(w)})"
     )
+
+
+@pytest.mark.parametrize("variant", [
+    dict(),
+    dict(expand_hierarchy_levels=2),
+    dict(expand_hierarchy_levels=999, expand_mappings=True),
+    dict(longest_only=True, min_term_size=4, expand_mappings=True),
+    dict(whole_word_only=False, expand_hierarchy_levels=1),
+])
+def test_fast_path_rowset_equals_scored_loop(env, variant):
+    """Differential check: the vectorized unscored path and the scored
+    per-row loop (score='old', threshold 0 — adds score values but
+    never changes row membership) must emit identical row sets."""
+    from kgref.schemas import AnnotateOptions
+
+    state, tr, _ = env
+    args = (tr.column("conv_id").to_pylist(),
+            tr.column("turn_idx").to_pylist(),
+            tr.column("text").to_pylist(), state)
+
+    def rowset(opts):
+        t = annotate_rows(*args, opts)
+        cols = ["subj", "pred", "obj", "match_type", "distance",
+                "matched_text", "pref_label", "cui"]
+        data = {c: t.column(c).to_pylist() for c in cols}
+        rows = [tuple(data[c][i] for c in cols) for i in range(t.num_rows)]
+        assert len(rows) == len(set(rows))  # no duplicate emission
+        return set(rows)
+
+    fast = rowset(AnnotateOptions(**variant))
+    slow = rowset(AnnotateOptions(score="old", **variant))
+    assert fast == slow
