@@ -21,16 +21,22 @@ def _nfc(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """True NFC composition.  Arrow 16's ``utf8_normalize(form='NFC')``
     does NOT compose (measured: 'e'+U+0301 comes back decomposed,
     diverging from DuckDB's nfc_normalize), so: vectorized ASCII check
-    (byte length == char length ⇒ NFC-invariant, skip entirely — the
-    common case for web text batches), Python unicodedata only for the
-    rows of a batch that are actually non-ASCII."""
-    if pc.all(pc.equal(pc.binary_length(col), pc.utf8_length(col))).as_py() \
-            in (True, None):  # None = empty batch
+    (byte length == char length ⇒ NFC-invariant), then the Python
+    unicodedata fallback runs ONLY over the non-ASCII rows of the batch
+    (take by mask + replace_with_mask scatter) — a mixed batch pays
+    Python cost proportional to its non-ASCII rows, not its size."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    non_ascii = pc.fill_null(
+        pc.not_equal(pc.binary_length(col), pc.utf8_length(col)), False)
+    if not pc.any(non_ascii).as_py():  # all-ASCII batch: NFC-invariant
         return col
     import unicodedata
 
-    return pa.array([unicodedata.normalize("NFC", s) if s is not None
-                     else None for s in col.to_pylist()], pa.string())
+    sub = col.filter(non_ascii)
+    fixed = pa.array([unicodedata.normalize("NFC", s)
+                      for s in sub.to_pylist()], pa.string())
+    return pc.replace_with_mask(col, non_ascii, fixed)
 
 
 def normalize_batch(col: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -164,6 +164,10 @@ def _embedding_blocks(path: str) -> list:
 
     pf = pq.ParquetFile(path)
     n = pf.metadata.num_rows
+    if n == 0:
+        return []  # caller emits an empty pair set, like the old path
+    # embedding is variable-length list<float>, so the dim is not in the
+    # schema — probe the first row (guarded: n > 0 here)
     dim = len(next(pf.iter_batches(batch_size=1)).column("embedding")[0])
     target = int(os.environ.get("KGREF_EMB_BLOCK_BYTES", 256 << 20))
     num_blocks = max(1, -(-(n * dim * 8) // target))
@@ -230,6 +234,11 @@ def embedding_dup_pairs(sf_dir: str, tau: float = DUP_TAU):
         return rd.read_parquet(path, columns=["vec_id", "embedding"]) \
             .map_batches(pair_block, batch_format="pyarrow")
 
+    if not block_refs:  # empty embeddings table → empty pair set
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64())],
+            names=["vec_a", "vec_b", "cos"]))
     passes = [make_pass(ref) for ref in block_refs]
     return passes[0] if len(passes) == 1 else passes[0].union(*passes[1:])
 

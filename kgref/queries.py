@@ -358,7 +358,7 @@ ANNOTATE_VARIANTS: dict[str, AnnotateOptions] = {
 # M6 gate: run over the digit-suffixed transcripts view (documents text
 # is digit-free).  The with/without pair proves the filter FIRES: pure
 # numerics ("3", "7") present only in the unfiltered run, while the
-# digit-bearing-but-not-numeric "key 3" survives both.
+# digit-bearing-but-not-numeric "hash 3" (docdict CLASS_DEFS) survives both.
 ANNOTATE_DIGIT_VARIANTS: dict[str, AnnotateOptions] = {
     "annotate_exclude_numbers": AnnotateOptions(exclude_numbers=True),
     "annotate_with_numbers": AnnotateOptions(),

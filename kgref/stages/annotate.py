@@ -66,7 +66,8 @@ def annotate_rows(
     mappings = state.mappings
     stopset = state.stop_words if opts.use_stop_words else frozenset()
     if opts.extra_stop_words:
-        stopset = frozenset(stopset | {w.upper() for w in opts.extra_stop_words})
+        stopset = frozenset(
+            stopset | {fold_upper(w) for w in opts.extra_stop_words})
     K = opts.expand_hierarchy_levels
     onts = set(opts.ontologies)
     stys = set(opts.semantic_types)
@@ -294,7 +295,8 @@ def _annotate_rows_fast(
     mappings = state.mappings
     stopset = state.stop_words if opts.use_stop_words else frozenset()
     if opts.extra_stop_words:
-        stopset = frozenset(stopset | {w.upper() for w in opts.extra_stop_words})
+        stopset = frozenset(
+            stopset | {fold_upper(w) for w in opts.extra_stop_words})
     K = opts.expand_hierarchy_levels
     onts = set(opts.ontologies)
     stys = set(opts.semantic_types)

@@ -96,7 +96,14 @@ class DictionaryState:
         ):
             mp.setdefault(uri, []).append((muri, mont))
 
-        stops = frozenset(w.upper() for w in stop_words.column("word").to_pylist())
+        # fold_upper, not str.upper(): matched surfaces are folded with the
+        # length-preserving fold, so a stop word with an expanding case map
+        # ('straße' → 'STRASSE' under upper()) must fold the same way or the
+        # M5 comparison can never fire for it.
+        from ..matcher import fold_upper
+
+        stops = frozenset(
+            fold_upper(w) for w in stop_words.column("word").to_pylist())
         return cls(term_ids, term_classes, class_info, clo, mp, stops, version)
 
     @classmethod

@@ -113,3 +113,53 @@ def test_fast_path_rowset_equals_scored_loop(env, variant):
     fast = rowset(AnnotateOptions(**variant))
     slow = rowset(AnnotateOptions(score="old", **variant))
     assert fast == slow
+
+
+def _mini_state(stop_words=()):
+    """Tiny DictionaryState via from_tables (so the stop-word fold path
+    under test is the real one), one term with an expanding case map."""
+    import pyarrow as pa
+
+    from kgref.matcher import fold_upper
+
+    norm = fold_upper("Straße")  # 'STRAßE' (NOT 'STRASSE')
+    classes = pa.table({
+        "class_uri": ["C1"], "ontology": ["ONT"], "pref_label": ["Street"],
+        "cui": ["CUI1"], "semantic_types": [["T1"]]})
+    labels = pa.table({
+        "term_id": pa.array([0], pa.int64()), "term_norm": [norm],
+        "class_uri": ["C1"], "ontology": ["ONT"], "match_type": ["PREF"]})
+    empty_clo = pa.table({
+        "class_uri": pa.array([], pa.string()),
+        "ancestor_uri": pa.array([], pa.string()),
+        "distance": pa.array([], pa.int32())})
+    empty_map = pa.table({
+        "class_uri": pa.array([], pa.string()),
+        "mapped_class_uri": pa.array([], pa.string()),
+        "mapped_ontology": pa.array([], pa.string())})
+    stops = pa.table({"word": pa.array(list(stop_words), pa.string())})
+    return DictionaryState.from_tables(classes, labels, empty_clo,
+                                       empty_map, stops)
+
+
+@pytest.mark.parametrize("via", ["default_list", "extra_stop_words"])
+def test_stop_word_with_expanding_case_map_fires(via):
+    """ADVICE round 2: stop words folded with str.upper() ('straße' →
+    'STRASSE') could never equal the fold_upper surface ('STRAßE'), so
+    the M5 filter silently missed non-ASCII stop words.  Both the
+    default-list and per-call paths must use the same fold."""
+    from kgref.schemas import AnnotateOptions
+
+    texts = ["die Straße ist lang"]
+    if via == "default_list":
+        state = _mini_state(stop_words=("straße",))
+        opts = AnnotateOptions()
+    else:
+        state = _mini_state()
+        opts = AnnotateOptions(extra_stop_words=("straße",))
+
+    control = annotate_rows(["c0"], [0], texts, _mini_state(),
+                            AnnotateOptions())
+    assert control.num_rows == 1  # the term matches without the stop word
+    got = annotate_rows(["c0"], [0], texts, state, opts)
+    assert got.num_rows == 0  # the folded stop word filters it

@@ -341,3 +341,41 @@ def test_resize_nearest_shapes_and_identity():
     # nearest-neighbor: every output pixel exists in the input
     flat_in = {tuple(p) for p in pix.reshape(-1, 3)}
     assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+
+def test_normalize_batch_mixed_ascii_rows():
+    """Mixed batch: ASCII rows pass through untouched, only the non-ASCII
+    rows take the unicodedata fallback (ADVICE round 2: the fallback must
+    be per-ROW, not per-batch), nulls survive."""
+    import pyarrow as pa
+    import unicodedata
+
+    from kgref.ops.normalize import _nfc
+
+    decomposed = "café"  # e + combining acute
+    col = pa.array(["plain ascii", decomposed, None, "more ascii"])
+    out = _nfc(col).to_pylist()
+    assert out == ["plain ascii", unicodedata.normalize("NFC", decomposed),
+                   None, "more ascii"]
+
+
+def test_embedding_dup_pairs_empty_table(ray_session, tmp_path):
+    """Zero-row embeddings input → empty pair set (ADVICE round 2: the
+    first-batch dim probe used to StopIteration on empty files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from kgref.ops.similarity import embedding_dup_pairs
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    _pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([], pa.int64()),
+             pa.array([], pa.list_(pa.float32())),
+             pa.array([], pa.int32())],
+            names=["vec_id", "embedding", "label"]),
+        str(d / "embeddings.parquet"))
+    ds = embedding_dup_pairs(str(d))
+    assert ds.schema().names == ["vec_a", "vec_b", "cos"]
+    assert ds.count() == 0
