@@ -103,21 +103,23 @@ def _hash64(s: str) -> int:
 # 1. Exact dedup
 
 
-def exact_dedup(sf_dir: str):
+def exact_dedup(sf_dir: str, n_parts: int | None = None):
     """sha256(text) groups → keeper (min doc_id) + copy count.  The
     shuffle key is the 32-byte hash, not the document body — at 100 TB
-    the exchange moves ~48 B/row regardless of document size."""
+    the exchange moves ~48 B/row regardless of document size.
+    ``n_parts`` defaults to the input-size-derived count (n_parts_for)."""
     import ray.data as rd
 
-    from .pairs import N_PARTS
+    from .pairs import n_parts_for
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [hashlib.sha256(t.encode()).hexdigest()
                   for t in batch.column("text").to_pylist()]
-        parts = [int(h[:8], 16) % N_PARTS for h in hashes]
+        parts = [int(h[:8], 16) % np_parts for h in hashes]
         return pa.Table.from_arrays(
             [pa.array(hashes, pa.string()), pa.array(parts, pa.int32()),
              batch.column("doc_id")],
@@ -147,11 +149,9 @@ def exact_dedup_sql() -> str:
 # 2. Exact n-gram Jaccard pairs (shingle co-occurrence candidates)
 
 
-def _shingle_rows(batch: pa.Table) -> pa.Table:
+def _shingle_rows(batch: pa.Table, n_parts: int) -> pa.Table:
     """Explode docs into (k=hash64(shingle), part, doc_id, n_doc) rows —
     the shuffle moves 8-byte keys, never shingle strings."""
-    from .pairs import N_PARTS
-
     doc_ids, ks, n_doc = [], [], []
     for did, text in zip(batch.column("doc_id").to_pylist(),
                          batch.column("text").to_pylist()):
@@ -162,20 +162,26 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
             n_doc.append(len(sh))
     k_arr = pa.array(ks, pa.int64())
     return pa.Table.from_arrays(
-        [k_arr, pa.array([k % N_PARTS for k in ks], pa.int32()),
+        [k_arr, pa.array([k % n_parts for k in ks], pa.int32()),
          pa.array(doc_ids, pa.int64()), pa.array(n_doc, pa.int64())],
         names=["k", "part", "doc_id", "n_doc"],
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU):
+def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU,
+                        n_parts: int | None = None):
+    import functools
+
     import ray.data as rd
 
-    from .pairs import agg_pairs_by_part, keyed_pairs
+    from .pairs import agg_pairs_by_part, keyed_pairs, n_parts_for
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    shingles = ds.map_batches(_shingle_rows, batch_format="pyarrow")
+    path = f"{sf_dir}/documents.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    shingles = ds.map_batches(
+        functools.partial(_shingle_rows, n_parts=np_parts),
+        batch_format="pyarrow")
     pairs = keyed_pairs(shingles, ["n_doc"], None)  # exact: no cap
 
     def jaccard(df: pd.DataFrame) -> pd.DataFrame:
@@ -187,7 +193,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = JACCARD_TAU):
         g["jaccard"] = [round_half_up(float(x)) for x in j[j >= tau]]
         return g[["doc_a", "doc_b", "jaccard"]]
 
-    return agg_pairs_by_part(pairs, jaccard)
+    return agg_pairs_by_part(pairs, jaccard, np_parts)
 
 
 def ngram_jaccard_sql(tau: float = JACCARD_TAU, k: int = SHINGLE_K) -> str:
@@ -214,10 +220,8 @@ WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {tau}
 # 3. MinHash + LSH candidate pairs (rows-only; probabilistic recall)
 
 
-def _minhash_band_rows(batch: pa.Table) -> pa.Table:
+def _minhash_band_rows(batch: pa.Table, n_parts: int) -> pa.Table:
     """(k = hash64(band ‖ band-signature), part, doc_id) rows."""
-    from .pairs import N_PARTS
-
     rows_per_band = NUM_PERM // BANDS
     doc_ids, ks = [], []
     for did, text in zip(batch.column("doc_id").to_pylist(),
@@ -244,30 +248,35 @@ def _minhash_band_rows(batch: pa.Table) -> pa.Table:
             ks.append(k)
     return pa.Table.from_arrays(
         [pa.array(ks, pa.int64()),
-         pa.array([k % N_PARTS for k in ks], pa.int32()),
+         pa.array([k % n_parts for k in ks], pa.int32()),
          pa.array(doc_ids, pa.int64())],
         names=["k", "part", "doc_id"],
     )
 
 
-def minhash_lsh_pairs(sf_dir: str):
+def minhash_lsh_pairs(sf_dir: str, n_parts: int | None = None):
     """Candidate near-dup pairs + number of agreeing bands.  The shuffle
     key is the hashed band signature — tiny, uniform; the canonical
     100-TB dedup path."""
+    import functools
+
     import ray.data as rd
 
-    from .pairs import agg_pairs_by_part, keyed_pairs
+    from .pairs import agg_pairs_by_part, keyed_pairs, n_parts_for
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    band_rows = ds.map_batches(_minhash_band_rows, batch_format="pyarrow")
+    path = f"{sf_dir}/documents.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    band_rows = ds.map_batches(
+        functools.partial(_minhash_band_rows, n_parts=np_parts),
+        batch_format="pyarrow")
 
     def count_bands(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby(["doc_a", "doc_b"], sort=False)
                 .size().rename("n_shared_bands").reset_index())
 
     return agg_pairs_by_part(keyed_pairs(band_rows, [], MAX_GROUP),
-                             count_bands)
+                             count_bands, np_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -307,16 +316,18 @@ def _simhash64(text: str) -> int:
                 << np.arange(64, dtype=np.uint64)).sum())
 
 
-def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS):
+def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS,
+                  n_parts: int | None = None):
     """Pairs within hamming ≤ radius.  4×16-bit chunk pigeonhole: any
     pair with ≤3 differing bits agrees on ≥1 of 4 chunks, so bucketing
     by (chunk_idx, chunk_value) is a lossless candidate generator."""
     import ray.data as rd
 
-    from .pairs import N_PARTS, agg_pairs_by_part, keyed_pairs
+    from .pairs import agg_pairs_by_part, keyed_pairs, n_parts_for
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         doc_ids, ks, sigs = [], [], []
@@ -329,7 +340,7 @@ def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS):
                 sigs.append(sh - (1 << 63))  # offset to signed int64
         return pa.Table.from_arrays(
             [pa.array(ks, pa.int64()),
-             pa.array([k % N_PARTS for k in ks], pa.int32()),
+             pa.array([k % np_parts for k in ks], pa.int32()),
              pa.array(doc_ids, pa.int64()), pa.array(sigs, pa.int64())],
             names=["k", "part", "doc_id", "sig"],
         )
@@ -357,7 +368,7 @@ def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS):
 
     return agg_pairs_by_part(
         cand.map_batches(hamming_filter, batch_format="pyarrow"),
-        min_hamming)
+        min_hamming, np_parts)
 
 
 def register(q: dict, o: dict | None = None) -> None:

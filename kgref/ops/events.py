@@ -7,9 +7,10 @@ re-expressions of streaming windows: event time lives in the data, so a
 tumbling window is a groupby on ``truncate(ts)`` and a session is a
 run-length encoding over per-user time-sorted events.  Partitioning
 follows the same coarse-partition rule as the dedup ops: the shuffle key
-is ``user_id % N_PARTS`` (~64 groups), and each partition is aggregated
-with ONE vectorized pandas pass — never one Python call per user or per
-window ([[kgref.ops.pairs]] rationale).
+is ``user_id % n_parts`` with the count derived from input size
+(kgref.ops.pairs.n_parts_for), and each partition is aggregated with ONE
+vectorized pandas pass — never one Python call per user or per window
+([[kgref.ops.pairs]] rationale).
 
 At 10^12 events the same shape holds: sessionization needs all events
 of one user co-located and time-sorted, which the coarse partition
@@ -24,18 +25,18 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import N_PARTS
-
 SESSION_GAP_S = 1800  # 30 min
 
 
-def _with_part(batch: pa.Table) -> pa.Table:
-    part = pc.cast(
-        pc.bit_wise_and(batch.column("user_id"), N_PARTS - 1), pa.int32())
+def _with_part(batch: pa.Table, n_parts: int) -> pa.Table:
+    """user_id % n_parts (numpy modulo: n_parts_for returns powers of
+    two, but forced counts in tests may not be)."""
+    part = pa.array(
+        (batch.column("user_id").to_numpy() % n_parts).astype(np.int32))
     return batch.append_column("part", part)
 
 
-def windowed_agg(sf_dir: str):
+def windowed_agg(sf_dir: str, n_parts: int | None = None):
     """Tumbling 1-hour window per user: event count + value sum.
     ≙ ``GROUP BY user_id, date_trunc('hour', ts)``.
 
@@ -44,10 +45,15 @@ def windowed_agg(sf_dir: str):
     Integer summation is order-independent, so the result cannot flip at
     a rounding boundary when pandas/Ray/DuckDB accumulate floats in
     different orders (the float-sum-then-round formulation can)."""
+    import functools
+
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"])
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "value"])
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["part"])
@@ -59,7 +65,8 @@ def windowed_agg(sf_dir: str):
         g["sum_value"] = g["sum_v4"] / 10000.0
         return g[["user_id", "window_start", "n_events", "sum_value"]]
 
-    return (ds.map_batches(_with_part, batch_format="pyarrow")
+    return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
+                           batch_format="pyarrow")
             .groupby("part").map_groups(agg, batch_format="pandas"))
 
 
@@ -71,14 +78,20 @@ def windowed_agg_sql() -> str:
             " FROM events GROUP BY user_id, date_trunc('hour', ts)")
 
 
-def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S):
+def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S,
+               n_parts: int | None = None):
     """Gap-based sessions: a new session starts when a user is idle
     > gap_s.  session_id is the 1-based per-user session ordinal under
     (ts, event_id) ordering — deterministic on ties."""
+    import functools
+
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_id"])
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "event_id"])
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = (df.drop(columns=["part"])
@@ -96,7 +109,8 @@ def sessionize(sf_dir: str, gap_s: int = SESSION_GAP_S):
              .reset_index())
         return g[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
 
-    return (ds.map_batches(_with_part, batch_format="pyarrow")
+    return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
+                           batch_format="pyarrow")
             .groupby("part").map_groups(sessions, batch_format="pandas"))
 
 

@@ -5,8 +5,9 @@ records into (key, doc_id, payload…) rows, co-locate equal keys, emit
 all (a < b) doc pairs per key, then aggregate per pair.  Doing this
 with ``groupby(key).map_groups`` costs one pandas call per key (tens of
 thousands of tiny groups); instead we group by a COARSE partition id
-(``part = key_hash % N_PARTS``, ~64 big groups) and generate every
-pair inside a group with one numpy pass over sorted runs.
+(``part = key_hash % n_parts``, where n_parts scales with input bytes —
+see ``n_parts_for``) and generate every pair inside a group with one
+numpy pass over sorted runs.
 
 The shuffle therefore moves (int64 key, int64 doc_id, payload) — never
 shingle strings — and the per-group work is O(rows + pairs) vectorized.
@@ -20,7 +21,40 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-N_PARTS = 64
+N_PARTS = 64  # FLOOR, not the count: see n_parts_for
+TARGET_PART_BYTES = 256 << 20  # uncompressed input bytes per coarse partition
+
+
+def n_parts_for(path: str, *, target_part_bytes: int = TARGET_PART_BYTES,
+                min_parts: int = N_PARTS) -> int:
+    """Scale-aware coarse-partition count, derived from parquet FOOTER
+    metadata only (uncompressed row-group byte size — no data read, no
+    dataset execution).  A fixed partition count would make per-partition
+    volume grow linearly with the corpus: at 100 TB one partition's rows
+    land in ONE pandas frame on one worker — a memory cliff.  Instead the
+    count scales so each partition sees ~``target_part_bytes`` of input
+    (256 MiB default: a bounded frame even after pair fan-out), floored
+    at ``min_parts`` so small inputs still spread across the cluster.
+
+    Rounded up to a power of two so callers may partition with a bit
+    mask as well as a modulo.  At sf0.1 this returns the floor (64); at
+    100 TB it returns ~2^19 partitions.  The footer walk is per-file
+    metadata only — O(files) driver-side, the same cost the read planner
+    already pays."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for i in range(md.num_row_groups):
+            total += md.row_group(i).total_byte_size
+    raw = max(min_parts, -(-total // target_part_bytes))
+    return 1 << (int(raw) - 1).bit_length()  # next power of two ≥ raw
 
 
 def pairs_in_runs(keys: np.ndarray,

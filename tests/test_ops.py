@@ -379,3 +379,41 @@ def test_embedding_dup_pairs_empty_table(ray_session, tmp_path):
     ds = embedding_dup_pairs(str(d))
     assert ds.schema().names == ["vec_a", "vec_b", "cos"]
     assert ds.count() == 0
+
+
+def test_n_parts_for_scales_with_input_bytes():
+    """Footer-only partition sizing: floor of 64 at fixture scale, and a
+    power-of-two count proportional to bytes when the target shrinks
+    (the 100-TB path, simulated by a tiny per-partition target)."""
+    from kgref.ops.pairs import n_parts_for
+
+    path = f"{SF}/documents.parquet"
+    assert n_parts_for(path) == 64  # fixture-scale input hits the floor
+    md = pq.ParquetFile(path).metadata
+    total = sum(md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups))
+    forced = n_parts_for(path, target_part_bytes=max(1, total // 300))
+    assert forced >= 300 and (forced & (forced - 1)) == 0  # pow2 ≥ need
+    # directory form: same answer for the single-file dir
+    assert n_parts_for(SF, target_part_bytes=max(1, total // 300)) >= forced
+
+
+@pytest.mark.parametrize("forced", [7, 128])
+def test_coarse_partition_count_is_a_free_parameter(ray_session, forced):
+    """Results must be IDENTICAL at any coarse-partition count (the
+    count is a pure layout knob — VERDICT r2 #1).  Runs the exact-dedup,
+    Jaccard and windowed-events paths at a forced non-default count
+    (including a non-power-of-two) and compares to the default."""
+    from kgref.ops.dedup import exact_dedup, ngram_jaccard_pairs
+    from kgref.ops.events import windowed_agg
+
+    def norm(ds, keys):
+        df = ds.to_pandas()
+        return df.sort_values(keys).reset_index(drop=True)[sorted(df.columns)]
+
+    for fn, keys in [(exact_dedup, ["text_hash"]),
+                     (ngram_jaccard_pairs, ["doc_a", "doc_b"]),
+                     (windowed_agg, ["user_id", "window_start"])]:
+        base = norm(fn(SF), keys)
+        alt = norm(fn(SF, n_parts=forced), keys)
+        assert base.equals(alt), fn.__name__
