@@ -1,11 +1,16 @@
 """Benchmark runner (driver contract + local feedback loop).
 
 Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) in a Ray session it owns
-(``num_cpus = $RAY_GRAFT_CPUS`` or 32) and prints ONE JSON line:
+/root/testdata/sf0.1) and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...},
      "sf": ..., "num_cpus": N, ...}
+
+The default mode runs the suite ``$GRAFT_BENCH_REPEATS`` (3) times,
+each repeat in a fresh Ray session (``num_cpus = $RAY_GRAFT_CPUS`` or
+32), and reports per-query MEDIANS with raw repeats attached — single
+runs flip ±50% under this shared host's neighbor load.  ``--once``
+runs a single pass (the old behavior) for quick local iteration.
 
 ``--scaling`` runs the headline annotate pipeline twice in FRESH
 subprocesses (num_cpus=8 then 32) on the same input and reports both
@@ -159,6 +164,44 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         ray.shutdown()
 
 
+BENCH_REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+
+
+def run_suite_median(sf_dir: str, num_cpus: int,
+                     repeats: int = BENCH_REPEATS) -> dict:
+    """Default driver entry: the whole suite ``repeats`` times, each in a
+    FRESH Ray session, reporting per-query MEDIANS with the raw repeats
+    attached.  Single runs on this shared host flip ±50% under neighbor
+    load; medians keep one noisy window from moving headline numbers
+    (round-2 demand)."""
+    import statistics
+
+    runs = [run_suite(sf_dir, num_cpus) for _ in range(repeats)]
+    med_q = {k: round(statistics.median(r["queries"][k] for r in runs), 3)
+             for k in runs[0]["queries"]}
+    detail = {}
+    for k in med_q:
+        d = dict(runs[0]["detail"][k])  # row counts etc. from run 1
+        d["sec"] = med_q[k]
+        d["repeats_sec"] = [r["queries"][k] for r in runs]
+        if "turns_per_sec" in d:
+            d["turns_per_sec"] = round(statistics.median(
+                r["detail"][k]["turns_per_sec"] for r in runs), 1)
+        detail[k] = d
+    return {
+        "metric": "bench_total_sec",
+        "value": round(sum(med_q.values()), 3),
+        "unit": "sec",
+        "estimator": f"per-query median of {repeats} fresh-session runs",
+        "queries": med_q,
+        "detail": detail,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "annotate_turns_per_sec":
+            detail["annotate_flagship"]["turns_per_sec"],
+    }
+
+
 SCALING_TRIALS = 3
 
 
@@ -237,5 +280,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(SF_DIR)))
     elif "--headline-json" in sys.argv:
         print(json.dumps(run_suite(SF_DIR, NUM_CPUS, headline_only=True)))
-    else:
+    elif "--once" in sys.argv:
         print(json.dumps(run_suite(SF_DIR, NUM_CPUS)))
+    else:
+        print(json.dumps(run_suite_median(SF_DIR, NUM_CPUS)))

@@ -40,10 +40,10 @@ def _tokens_column(batch: pa.Table) -> pa.ListArray:
 
 
 # BPE-ish piece pattern (GPT-2-style word/number/other pieces with a
-# leading-space convention); deliberately RE2-compatible so the DuckDB
-# oracle runs the identical pattern
+# leading-space convention); deliberately RE2-compatible so both the
+# Arrow count kernel below and the DuckDB oracle run the identical
+# pattern with identical non-overlapping leftmost-first semantics
 BPE_PATTERN = r" ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
-_BPE_RE = None
 
 
 def token_stats(sf_dir: str):
@@ -53,11 +53,6 @@ def token_stats(sf_dir: str):
                          columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
-        global _BPE_RE
-        if _BPE_RE is None:  # compiled once per worker process
-            import re
-
-            _BPE_RE = re.compile(BPE_PATTERN)
         toks = _tokens_column(batch)
         n_tok = pc.cast(pc.list_value_length(toks), pa.int32())
         # vectorized per-row distinct count: dictionary-encode the flat
@@ -72,10 +67,10 @@ def token_stats(sf_dir: str):
         first[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
         n_distinct = pa.array(
             np.bincount(ps[first], minlength=len(batch)).astype(np.int32))
-        n_bpe = pa.array(
-            [len(_BPE_RE.findall(t))
-             for t in batch.column("text").to_pylist()], pa.int32()
-        )
+        # one RE2 C kernel over the column (verified equal to Python
+        # re.findall counts on this pattern) — no per-row Python
+        n_bpe = pc.cast(pc.count_substring_regex(
+            batch.column("text"), pattern=BPE_PATTERN), pa.int32())
         return pa.Table.from_arrays(
             [batch.column("doc_id"), n_tok, n_distinct, n_bpe],
             names=["doc_id", "n_tokens", "n_distinct", "n_bpe_tokens"],

@@ -14,7 +14,10 @@ materialized intermediate rows (match fan-out multiplies bytes — every
 extra stage boundary would re-serialize the exploded rows through the
 object store).  The automaton/index build happens ONCE per actor in
 ``__init__`` from the broadcast DictionaryState (``ray.put`` handle, one
-copy per node); per-batch work is dict probes + list appends at C speed.
+copy per node); the per-TERM expansion templates are likewise cached on
+the actor (:class:`TemplateRegistry`) and amortized across every batch
+the actor processes — per-batch work is dict probes + numpy gathers at
+C speed.
 
 Scale notes (10^12 turns): stateless w.r.t. the data — any worker can
 take any block; dictionary is dimension-sized (≤ GBs for UMLS-scale) and
@@ -26,7 +29,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..matcher import RawMatch, fold_upper, longest_only_filter, raw_filter
 from ..schemas import TRIPLES, AnnotateOptions
@@ -41,6 +46,179 @@ def _resolve_state(state) -> DictionaryState:
     return ray.get(state)
 
 
+def _stop_set(state: DictionaryState, opts: AnnotateOptions) -> frozenset[str]:
+    stopset = state.stop_words if opts.use_stop_words else frozenset()
+    if opts.extra_stop_words:
+        stopset = frozenset(
+            stopset | {fold_upper(w) for w in opts.extra_stop_words})
+    return stopset
+
+
+class TemplateRegistry:
+    """Per-TERM emitted-row templates, cached for an actor's lifetime.
+
+    Dictionary state and options are immutable once an actor is
+    constructed, so the template built for a term in one batch is valid
+    for every later batch — building it per batch (the round-2 shape)
+    repaid the full J1+closure+mapping resolution for the same hot terms
+    on every batch.  Templates are built lazily as the corpus vocabulary
+    appears and only grow; cached numpy/arrow views are invalidated by a
+    cheap length check (state is append-only, never rewritten).
+
+    A template maps one term_id to its fixed emitted rows under these
+    options: J1 class resolution (M8–M10 filters) + direct + capped
+    closure (J2) + filtered mappings (J3), as int-coded
+    (pred, obj, dist, mt) rows.  A2/U2 keep-min-distance dedup is
+    applied AT BUILD TIME — two matches can only collide on the full
+    (s, e, pred, obj, mt) key when they share (s, e), and an identical
+    span is an identical substring, hence the SAME term_id and the same
+    template, so no runtime dedup pass is needed.
+
+    Scoring support (A4): for score='old' every template row carries its
+    exact per-row score (base × decay chain, Python-rounded at build —
+    scores depend only on template fields).  For the cvalue variants the
+    registry carries per-term factors (``n_direct``: raw passing class
+    entries, the per-occurrence surface-count contribution;
+    ``tok_factor``: 1+log2(ntoks) of the normalized surface) and the
+    per-emission score is finished vectorized in the batch function.
+    """
+
+    def __init__(self, state: DictionaryState, opts: AnnotateOptions):
+        self.term_classes = state.term_classes
+        self.class_info = state.class_info
+        self.closure = state.closure
+        self.mappings = state.mappings
+        self.with_synonyms = opts.with_synonyms
+        self.expand_mappings = opts.expand_mappings
+        self.onts = set(opts.ontologies)
+        self.stys = set(opts.semantic_types)
+        self.K = opts.expand_hierarchy_levels
+        self.scoring = opts.score
+
+        # obj registry: one dense code per distinct class URI seen
+        self.obj_uris: list[str] = []
+        self.obj_pref: list[str] = []
+        self.obj_cui: list[str] = []
+        self._obj_code_of: dict[str, int] = {}
+
+        # template rows (CSR over tmpl_slice)
+        self.t_pred: list[int] = []   # 0=annotated_with 1=isa 2=mapped
+        self.t_obj: list[int] = []
+        self.t_dist: list[int] = []
+        self.t_mt: list[int] = []     # 0=PREF 1=SYN
+        self.t_score_old: list[float] = []  # only filled when score='old'
+        self.tmpl_slice: dict[int, tuple[int, int]] = {}
+
+        # per-term scoring factors (cvalue/cvalueh)
+        self.n_direct: dict[int, int] = {}
+        self.tok_factor: dict[int, float] = {}
+
+        # cached views, invalidated by length change
+        self._np_len = -1
+        self._np: tuple | None = None
+        self._obj_len = -1
+        self._obj_pa: tuple | None = None
+
+    def obj_code(self, uri: str) -> int:
+        c = self._obj_code_of.get(uri)
+        if c is None:
+            c = len(self.obj_uris)
+            self._obj_code_of[uri] = c
+            self.obj_uris.append(uri)
+            info = self.class_info.get(uri)
+            self.obj_pref.append(info[0] if info else "")
+            self.obj_cui.append(info[1] if info else "")
+        return c
+
+    def build(self, tid: int) -> tuple[int, int]:
+        """Build (and memoize) the template for one term id."""
+        t_pred, t_obj = self.t_pred, self.t_obj
+        t_dist, t_mt = self.t_dist, self.t_mt
+        scoring_old = self.scoring == "old"
+        start = len(t_pred)
+        n_raw = 0
+        seen: dict[tuple[int, int, int], int] = {}  # key -> row idx
+        for uri, ont, mt in self.term_classes.get(tid, ()):
+            if not self.with_synonyms and mt != "PREF":  # M8
+                continue
+            if self.onts and ont not in self.onts:  # M9
+                continue
+            if self.stys:  # M10
+                info = self.class_info.get(uri)
+                if not info or not self.stys.intersection(info[3]):
+                    continue
+            n_raw += 1
+            mtc = 0 if mt == "PREF" else 1
+            base = 10.0 if mtc == 0 else 8.0
+            rows = [(0, self.obj_code(uri), 0, mtc)]
+            if self.K:
+                for anc, dist in self.closure.get(uri, ()):
+                    if dist > self.K:
+                        break  # closure lists are distance-sorted
+                    rows.append((1, self.obj_code(anc), dist, mtc))
+            if self.expand_mappings:
+                for muri, mont in self.mappings.get(uri, ()):
+                    if self.onts and mont not in self.onts:
+                        continue
+                    rows.append((2, self.obj_code(muri), 0, mtc))
+            for pred, obj, dist, mtc_ in rows:
+                k = (pred, obj, mtc_)
+                prev = seen.get(k)
+                if prev is not None:  # A2/U2: keep min distance
+                    if dist < t_dist[prev]:
+                        t_dist[prev] = dist
+                        if scoring_old:
+                            self.t_score_old[prev] = round(
+                                base * (0.8 ** dist), 4)
+                    continue
+                seen[k] = len(t_pred)
+                t_pred.append(pred)
+                t_obj.append(obj)
+                t_dist.append(dist)
+                t_mt.append(mtc_)
+                if scoring_old:
+                    if pred == 0:
+                        sc = base
+                    elif pred == 1:
+                        sc = round(base * (0.8 ** dist), 4)
+                    else:
+                        sc = round(base * 0.7, 4)
+                    self.t_score_old.append(sc)
+        self.n_direct[tid] = n_raw
+        sl = (start, len(t_pred))
+        self.tmpl_slice[tid] = sl
+        return sl
+
+    def rows_np(self):
+        """Template rows as numpy (cached; rebuilt only on growth —
+        bounded by dictionary size, not corpus size)."""
+        n = len(self.t_pred)
+        if self._np_len != n:
+            self._np = (
+                np.array(self.t_pred, dtype=np.int32),
+                np.array(self.t_obj, dtype=np.int32),
+                np.array(self.t_dist, dtype=np.int32),
+                np.array(self.t_mt, dtype=np.int32),
+                (np.array(self.t_score_old, dtype=np.float64)
+                 if self.scoring == "old" else None),
+            )
+            self._np_len = n
+        return self._np
+
+    def obj_values(self):
+        """Dictionary value arrays for the obj/pref/cui columns
+        (cached; the placeholder [""] keeps empty dictionaries valid)."""
+        n = len(self.obj_uris)
+        if self._obj_len != n:
+            self._obj_pa = (
+                pa.array(self.obj_uris if n else [""], pa.string()),
+                pa.array(self.obj_pref if n else [""], pa.string()),
+                pa.array(self.obj_cui if n else [""], pa.string()),
+            )
+            self._obj_len = n
+        return self._obj_pa
+
+
 def annotate_rows(
     conv_ids: list[str],
     turn_idxs: list[int],
@@ -48,6 +226,7 @@ def annotate_rows(
     state: DictionaryState,
     opts: AnnotateOptions,
     match_fn=None,
+    registry: TemplateRegistry | None = None,
 ) -> pa.Table:
     """Annotate a batch of turns → TRIPLES table.  Pure function (no Ray).
 
@@ -56,7 +235,33 @@ def annotate_rows(
     AC matcher; RegexAnnotateTriples plugs kgref.matcher.RegexTermScanner
     in here.  Everything downstream of raw matches (M4–M11, J1–J4, A4)
     is engine-independent, mirroring the reference where recognizers
-    produce raw matches and the gem does filtering/expansion."""
+    produce raw matches and the gem does filtering/expansion.
+
+    ``registry`` carries the actor-lifetime template cache; standalone
+    callers omit it and pay a fresh (lazy) build.  See
+    :func:`annotate_rows_loop` for the per-row reference implementation
+    the differential tests compare against.
+    """
+    return _annotate_rows_fast(conv_ids, turn_idxs, texts, state, opts,
+                               match_fn, registry)
+
+
+def annotate_rows_loop(
+    conv_ids: list[str],
+    turn_idxs: list[int],
+    texts: list[str],
+    state: DictionaryState,
+    opts: AnnotateOptions,
+    match_fn=None,
+) -> pa.Table:
+    """REFERENCE implementation: straight per-emitted-row Python loop.
+
+    Kept (and unit-tested against the fast path for both unscored and
+    all scored configs) as the executable spec of the emission
+    semantics: per-turn (s, e, pred, obj, mt) dedup keeping min
+    distance, A4 scoring with per-turn surface counts, threshold
+    filtering.  Not used by any pipeline — the vectorized
+    :func:`_annotate_rows_fast` is the only production path."""
     td = state.term_dictionary()
     if match_fn is None:
         match_fn = td.match
@@ -64,20 +269,11 @@ def annotate_rows(
     class_info = state.class_info
     closure = state.closure
     mappings = state.mappings
-    stopset = state.stop_words if opts.use_stop_words else frozenset()
-    if opts.extra_stop_words:
-        stopset = frozenset(
-            stopset | {fold_upper(w) for w in opts.extra_stop_words})
+    stopset = _stop_set(state, opts)
     K = opts.expand_hierarchy_levels
     onts = set(opts.ontologies)
     stys = set(opts.semantic_types)
     scoring = opts.score
-
-    if not scoring:
-        # flagship path: per-emitted-row Python eliminated (profiled as
-        # the dominant cost at ~111 triples/turn fan-out)
-        return _annotate_rows_fast(conv_ids, turn_idxs, texts, state,
-                                   opts, match_fn)
 
     # column builders (subj is derived vectorized at the end —
     # conv/turn/from-to; one f-string per emitted row would dominate
@@ -200,8 +396,6 @@ def annotate_rows(
     def _dict(vals: list[str]) -> pa.Array:
         return pa.array(vals, pa.string()).dictionary_encode()
 
-    import pyarrow.compute as pc
-
     conv_arr = pa.array(c_conv, pa.string()).dictionary_encode()
     turn_arr = pa.array(c_turn, pa.int32())
     from_arr = pa.array(c_from, pa.int32())
@@ -235,9 +429,8 @@ def annotate_rows(
         names=[f.name for f in TRIPLES],
     )
     if (opts.score and opts.score_threshold > 0):
-        import pyarrow.compute as pc
-
-        table = table.filter(pc.greater_equal(table["score"], opts.score_threshold))
+        table = table.filter(
+            pc.greater_equal(table["score"], opts.score_threshold))
     return table
 
 
@@ -248,22 +441,17 @@ def _annotate_rows_fast(
     state: DictionaryState,
     opts: AnnotateOptions,
     match_fn,
+    registry: TemplateRegistry | None = None,
 ) -> pa.Table:
-    """Vectorized fan-out for the unscored path (score='' — the
-    flagship configuration).
+    """Vectorized template fan-out — the production path for ALL
+    configurations (unscored flagship and A4 scored).
 
     Python touches only per-RAW-MATCH work; the expansion to emitted
     triples happens in numpy:
 
-    - a per-batch TERM TEMPLATE registry maps each term_id to its fixed
-      emitted rows under these options: J1 class resolution (M8–M10
-      filters) + direct + capped closure + filtered mappings, as
-      int-coded (pred, obj, dist, mt) rows.  A2/U2 keep-min-distance
-      dedup is applied AT BUILD TIME inside the template — two matches
-      can only collide on the full (s, e, pred, obj, mt) key when they
-      share (s, e), and an identical span is an identical substring,
-      hence the SAME term_id and the same template.  No runtime dedup
-      pass is needed at all.
+    - the actor-lifetime :class:`TemplateRegistry` maps each term_id to
+      its fixed emitted rows under these options (see the class doc for
+      the build-time A2/U2 dedup argument);
     - raw matches fan out via CSR-style ``np.repeat``/gather over
       template slices;
     - output columns are built as DictionaryArrays directly from the
@@ -272,100 +460,37 @@ def _annotate_rows_fast(
       pref/cui columns index the obj registry and may repeat values,
       which nothing keys on).
 
-    Row order differs from the scored path's emission order; every
-    consumer (driver hash gate, bucket sort+dedup, golden set
-    compares) is order-insensitive.
+    Scoring (A4) stays vectorized with EXACT loop parity:
+    - 'old': scores depend only on template fields — gathered from the
+      registry's per-row Python-rounded values.
+    - 'cvalue'/'cvalueh': the loop's per-turn surface count factors
+      through the term (a matched surface IS its term's normalized
+      string, so counts[val] = occurrences(term in turn) × n_direct):
+      per-emission scores are computed once per UNIQUE
+      (term, count, mt, pred, dist) combo with the same Python
+      round()/power chain as the loop, then gathered — Python cost is
+      O(unique combos), not O(emitted rows).
+
+    Row order differs from the loop's emission order; every consumer
+    (driver hash gate, bucket sort+dedup, golden set compares) is
+    order-insensitive.
 
     Recognizer contract: ``match_fn`` must emit each (term_id, span) at
     most once per text — both built-in engines guarantee this (the
     window scan visits each span once; AC terminal outputs are unique
     along fail chains; the regex scanner yields one hit per position
     per length group).  A third-party recognizer that duplicates
-    matches would duplicate rows here, where the scored path's seen-map
+    matches would duplicate rows here, where the loop's seen-map
     would have absorbed them."""
-    import numpy as np
-    import pyarrow.compute as pc
-
     td = state.term_dictionary()
     if match_fn is None:
         match_fn = td.match
-    term_classes = state.term_classes
-    class_info = state.class_info
-    closure = state.closure
-    mappings = state.mappings
-    stopset = state.stop_words if opts.use_stop_words else frozenset()
-    if opts.extra_stop_words:
-        stopset = frozenset(
-            stopset | {fold_upper(w) for w in opts.extra_stop_words})
-    K = opts.expand_hierarchy_levels
-    onts = set(opts.ontologies)
-    stys = set(opts.semantic_types)
+    if registry is None:
+        registry = TemplateRegistry(state, opts)
+    stopset = _stop_set(state, opts)
     whole_word = opts.whole_word_only
-
-    # --- registries (built lazily as this batch's vocabulary appears)
-    obj_uris: list[str] = []
-    obj_pref: list[str] = []
-    obj_cui: list[str] = []
-    obj_code_of: dict[str, int] = {}
-
-    def obj_code(uri: str) -> int:
-        c = obj_code_of.get(uri)
-        if c is None:
-            c = len(obj_uris)
-            obj_code_of[uri] = c
-            obj_uris.append(uri)
-            info = class_info.get(uri)
-            obj_pref.append(info[0] if info else "")
-            obj_cui.append(info[1] if info else "")
-        return c
-
-    t_pred: list[int] = []
-    t_obj: list[int] = []
-    t_dist: list[int] = []
-    t_mt: list[int] = []  # 0=PREF 1=SYN
-    tmpl_slice: dict[int, tuple[int, int]] = {}
-
-    def template(tid: int) -> tuple[int, int]:
-        """Emitted-row template for one term id, filters applied and
-        (pred, obj, mt)-deduped keep-min-distance at build time."""
-        start = len(t_pred)
-        seen: dict[tuple[int, int, int], int] = {}  # key -> row idx
-        for uri, ont, mt in term_classes.get(tid, ()):
-            if not opts.with_synonyms and mt != "PREF":  # M8
-                continue
-            if onts and ont not in onts:  # M9
-                continue
-            if stys:  # M10
-                info = class_info.get(uri)
-                if not info or not stys.intersection(info[3]):
-                    continue
-            mtc = 0 if mt == "PREF" else 1
-            rows = [(0, obj_code(uri), 0, mtc)]
-            if K:
-                for anc, dist in closure.get(uri, ()):
-                    if dist > K:
-                        break  # closure lists are distance-sorted
-                    rows.append((1, obj_code(anc), dist, mtc))
-            if opts.expand_mappings:
-                for muri, mont in mappings.get(uri, ()):
-                    if onts and mont not in onts:
-                        continue
-                    rows.append((2, obj_code(muri), 0, mtc))
-            for pred, obj, dist, mtc_ in rows:
-                k = (pred, obj, mtc_)
-                prev = seen.get(k)
-                if prev is not None:  # A2/U2: keep min distance
-                    if dist < t_dist[prev]:
-                        t_dist[prev] = dist
-                    continue
-                seen[k] = len(t_pred)
-                t_pred.append(pred)
-                t_obj.append(obj)
-                t_dist.append(dist)
-                t_mt.append(mtc_)
-        sl = (start, len(t_pred))
-        tmpl_slice[tid] = sl
-        return sl
+    scoring = opts.score
+    need_counts = scoring in ("cvalue", "cvalueh")
 
     surf_vals: list[str] = []
     surf_code_of: dict[str, int] = {}
@@ -377,6 +502,8 @@ def _annotate_rows_fast(
     m_surf: list[int] = []
     m_t0: list[int] = []
     m_t1: list[int] = []
+    m_tid: list[int] = []   # scored paths only
+    m_cnt: list[int] = []   # cvalue paths only: counts[val] factor
 
     conv_codes_of_turn = np.empty(len(conv_ids), dtype=np.int32)
     conv_vals: list[str] = []
@@ -389,8 +516,11 @@ def _annotate_rows_fast(
             conv_vals.append(cid)
         conv_codes_of_turn[i] = c
 
-    tmpl_get = tmpl_slice.get
+    tmpl_get = registry.tmpl_slice.get
+    tmpl_build = registry.build
     surf_get = surf_code_of.get
+    tok_factor = registry.tok_factor
+    n_direct = registry.n_direct
     for ridx, text in enumerate(texts):
         if not text:
             continue
@@ -403,10 +533,12 @@ def _annotate_rows_fast(
         matches = raw_filter(  # M4–M6
             matches, utext, min_term_size=opts.min_term_size,
             stop_set=stopset, exclude_numbers=opts.exclude_numbers)
+        turn_start = len(m_row)
         for m in matches:
-            sl = tmpl_get(m.term_id)
+            tid = m.term_id
+            sl = tmpl_get(tid)
             if sl is None:
-                sl = template(m.term_id)
+                sl = tmpl_build(tid)
             t0x, t1x = sl
             if t0x == t1x:  # all classes filtered out
                 continue
@@ -418,26 +550,46 @@ def _annotate_rows_fast(
                 sc = len(surf_vals)
                 surf_code_of[val] = sc
                 surf_vals.append(val)
+            if need_counts and tid not in tok_factor:
+                norm = utext[s0:e0]  # == the term's normalized string
+                ntoks = max(2, len(
+                    [t for t in norm.replace("_", " ").split() if t]))
+                tok_factor[tid] = 1 + math.log2(ntoks)
             m_row.append(ridx)
             m_s.append(s0)
             m_e.append(e0)
             m_surf.append(sc)
             m_t0.append(t0x)
             m_t1.append(t1x)
+            if scoring:
+                m_tid.append(tid)
+        if need_counts and len(m_row) > turn_start:
+            # counts[val] in the loop = per-turn direct-entry count of the
+            # matched surface; surface ↔ term is a bijection (the matched
+            # substring IS the normalized term), so counts factor as
+            # occurrences(term) × n_direct(term)
+            occ: dict[int, int] = {}
+            for i in range(turn_start, len(m_row)):
+                t = m_tid[i]
+                occ[t] = occ.get(t, 0) + 1
+            for i in range(turn_start, len(m_row)):
+                t = m_tid[i]
+                m_cnt.append(occ[t] * n_direct[t])
 
     # --- numpy CSR fan-out: one emitted row per template row per match
     t0a = np.array(m_t0, dtype=np.int64)
     lens = np.array(m_t1, dtype=np.int64) - t0a
     n = int(lens.sum())
+    t_pred_np, t_obj_np, t_dist_np, t_mt_np, t_old_np = registry.rows_np()
     if n:
         midx = np.repeat(np.arange(len(t0a)), lens)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         tidx = np.arange(n) - starts[midx] + t0a[midx]
 
-        pred_c = np.array(t_pred, dtype=np.int32)[tidx]
-        obj_c = np.array(t_obj, dtype=np.int32)[tidx]
-        dist_c = np.array(t_dist, dtype=np.int32)[tidx]
-        mt_c = np.array(t_mt, dtype=np.int32)[tidx]
+        pred_c = t_pred_np[tidx]
+        obj_c = t_obj_np[tidx]
+        dist_c = t_dist_np[tidx]
+        mt_c = t_mt_np[tidx]
         row_c = np.array(m_row, dtype=np.int64)[midx]
         s_c = np.array(m_s, dtype=np.int32)[midx]
         e_c = np.array(m_e, dtype=np.int32)[midx]
@@ -446,12 +598,49 @@ def _annotate_rows_fast(
         pred_c = obj_c = dist_c = mt_c = surf_c = np.array([], np.int32)
         row_c = np.array([], np.int64)
         s_c = e_c = np.array([], np.int32)
+        midx = np.array([], np.int64)
 
-    def _da(codes: np.ndarray, values: list[str]) -> pa.DictionaryArray:
+    # --- A4 scores (exact loop parity; see docstring)
+    if not scoring or not n:
+        score_c = np.zeros(len(row_c), dtype=np.float64)
+    elif scoring == "old":
+        score_c = t_old_np[tidx]
+    else:
+        tid_c = np.array(m_tid, dtype=np.int64)[midx]
+        cnt_c = np.array(m_cnt, dtype=np.int64)[midx]
+        combos = np.stack([tid_c, cnt_c, mt_c.astype(np.int64),
+                           pred_c.astype(np.int64),
+                           dist_c.astype(np.int64)], axis=1)
+        uniq, inv = np.unique(combos, axis=0, return_inverse=True)
+        vals = np.empty(len(uniq), dtype=np.float64)
+        cvalueh = scoring == "cvalueh"
+        for u in range(len(uniq)):
+            tid, cnt, mtc, pred, dist = (int(x) for x in uniq[u])
+            base = 10.0 if mtc == 0 else 8.0
+            sc = tok_factor[tid] * cnt
+            sc = round(sc * (base / 10.0), 4) if cvalueh else round(sc, 4)
+            if pred == 1:
+                sc = round(sc * (0.8 ** dist), 4)
+            elif pred == 2:
+                sc = round(sc * 0.7, 4)
+            vals[u] = sc
+        score_c = vals[inv]
+
+    if scoring and opts.score_threshold > 0 and n:
+        keep = score_c >= opts.score_threshold
+        if not keep.all():
+            pred_c, obj_c, dist_c, mt_c = (pred_c[keep], obj_c[keep],
+                                           dist_c[keep], mt_c[keep])
+            row_c, s_c, e_c = row_c[keep], s_c[keep], e_c[keep]
+            surf_c, score_c = surf_c[keep], score_c[keep]
+
+    def _da(codes: np.ndarray, values) -> pa.DictionaryArray:
+        if isinstance(values, list):
+            values = pa.array(values if values else [""], pa.string())
         return pa.DictionaryArray.from_arrays(
-            pa.array(codes, pa.int32()),
-            pa.array(values if values else [""], pa.string()))
+            pa.array(codes, pa.int32()), values)
 
+    obj_vals, pref_vals, cui_vals = registry.obj_values()
     conv_arr = _da(conv_codes_of_turn[row_c] if len(row_c) else
                    np.array([], np.int32), conv_vals)
     turn_arr = pa.array(np.array(turn_idxs, dtype=np.int32)[row_c]
@@ -468,7 +657,7 @@ def _annotate_rows_fast(
         [
             subj_arr,
             _da(pred_c, ["annotated_with", "isa_closure", "mapped_to"]),
-            _da(obj_c, obj_uris),
+            _da(obj_c, obj_vals),
             conv_arr,
             turn_arr,
             from_arr,
@@ -476,23 +665,28 @@ def _annotate_rows_fast(
             _da(mt_c, ["PREF", "SYN"]),
             _da(surf_c, surf_vals),
             pa.array(dist_c, pa.int32()),
-            _da(obj_c, obj_pref),  # M11/J4 canonical label of obj
-            _da(obj_c, obj_cui),
-            pa.array(np.zeros(len(row_c)), pa.float64()),
+            _da(obj_c, pref_vals),  # M11/J4 canonical label of obj
+            _da(obj_c, cui_vals),
+            pa.array(score_c, pa.float64()),
         ],
         names=[f.name for f in TRIPLES],
     )
 
 
 class AnnotateTriples:
-    """Callable class for ``map_batches`` actor pools (ST1/ST2)."""
+    """Callable class for ``map_batches`` actor pools (ST1/ST2).
+
+    All per-actor state is built ONCE here: the broadcast dictionary is
+    materialized, the matcher index is built (mgrep loads its dictionary
+    at server start; we build the token-window index at actor start),
+    and the per-term template registry persists across every batch the
+    actor processes."""
 
     def __init__(self, state, opts: AnnotateOptions | None = None):
         self.state = _resolve_state(state)
         self.opts = opts or AnnotateOptions()
-        # force index build once per actor (mgrep loads its dictionary at
-        # server start; we build the token-window index at actor start)
         self.state.term_dictionary()
+        self.registry = TemplateRegistry(self.state, self.opts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return annotate_rows(
@@ -501,6 +695,7 @@ class AnnotateTriples:
             batch.column("text").to_pylist(),
             self.state,
             self.opts,
+            registry=self.registry,
         )
 
 
@@ -510,7 +705,7 @@ class RegexAnnotateTriples(AnnotateTriples):
     on compiled per-length regex alternations (kgref.matcher.
     RegexTermScanner) instead of the token-window index; filtering,
     expansion and canonicalization are shared.  Scanner compiled ONCE
-    per actor in __init__, like the automaton."""
+    per actor in __init__, like the automaton and template registry."""
 
     def __init__(self, state, opts: AnnotateOptions | None = None):
         super().__init__(state, opts)
@@ -527,4 +722,5 @@ class RegexAnnotateTriples(AnnotateTriples):
             self.state,
             self.opts,
             match_fn=self._scanner.match,
+            registry=self.registry,
         )

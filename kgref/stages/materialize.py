@@ -34,7 +34,6 @@ import time
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -175,19 +174,6 @@ def add_salt_column(ds: rd.Dataset, hot: dict[str, int], salt_chunk: int) -> rd.
 
 
 # ---------------------------------------------------------------------------
-
-
-def _order_dedup(group: pd.DataFrame) -> pd.DataFrame:
-    """O1 + U2 inside one (conv_id, salt) group: stable turn ordering by
-    (turn_idx, from_1b, pred, obj) and exact dedup of
-    (subj, pred, obj, match_type) keeping min distance (A2)."""
-    group = group.sort_values(
-        ["turn_idx", "from_1b", "to_1b", "pred", "obj", "match_type", "distance"],
-        kind="mergesort",
-    )
-    group = group.drop_duplicates(subset=["subj", "pred", "obj", "match_type"],
-                                  keep="first")
-    return group
 
 
 def _key_codes(t: pa.Table, name: str) -> pa.Array:

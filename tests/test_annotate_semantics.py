@@ -90,29 +90,88 @@ def test_regex_recognizer_matches_golden(env, key):
     dict(longest_only=True, min_term_size=4, expand_mappings=True),
     dict(whole_word_only=False, expand_hierarchy_levels=1),
 ])
-def test_fast_path_rowset_equals_scored_loop(env, variant):
-    """Differential check: the vectorized unscored path and the scored
-    per-row loop (score='old', threshold 0 — adds score values but
-    never changes row membership) must emit identical row sets."""
+@pytest.mark.parametrize("score", ["", "old", "cvalue", "cvalueh"])
+def test_fast_path_equals_reference_loop(env, variant, score):
+    """Differential check: the vectorized template fan-out (the only
+    production path, scored or not) must emit exactly the rows — and,
+    when scoring, exactly the score VALUES — of the per-row reference
+    loop (annotate_rows_loop, the executable emission spec)."""
     from kgref.schemas import AnnotateOptions
+    from kgref.stages.annotate import annotate_rows_loop
 
     state, tr, _ = env
     args = (tr.column("conv_id").to_pylist(),
             tr.column("turn_idx").to_pylist(),
             tr.column("text").to_pylist(), state)
+    opts = AnnotateOptions(score=score, **variant)
 
-    def rowset(opts):
-        t = annotate_rows(*args, opts)
+    def rowset(fn):
+        t = fn(*args, opts)
         cols = ["subj", "pred", "obj", "match_type", "distance",
                 "matched_text", "pref_label", "cui"]
+        if score:
+            cols.append("score")
         data = {c: t.column(c).to_pylist() for c in cols}
         rows = [tuple(data[c][i] for c in cols) for i in range(t.num_rows)]
         assert len(rows) == len(set(rows))  # no duplicate emission
         return set(rows)
 
-    fast = rowset(AnnotateOptions(**variant))
-    slow = rowset(AnnotateOptions(score="old", **variant))
-    assert fast == slow
+    fast, loop = rowset(annotate_rows), rowset(annotate_rows_loop)
+    assert fast == loop, (
+        f"missing={list(loop - fast)[:3]} extra={list(fast - loop)[:3]}")
+
+
+def test_score_threshold_filters_in_fast_path(env):
+    """The A4 threshold must filter identically in the vectorized path
+    and the reference loop (non-trivial: the fast path masks numpy
+    arrays pre-table, the loop filters the built table)."""
+    from kgref.schemas import AnnotateOptions
+    from kgref.stages.annotate import annotate_rows_loop
+
+    state, tr, _ = env
+    args = (tr.column("conv_id").to_pylist(),
+            tr.column("turn_idx").to_pylist(),
+            tr.column("text").to_pylist(), state)
+    opts = AnnotateOptions(score="cvalueh", expand_hierarchy_levels=2,
+                           score_threshold=5.0)
+    fast = annotate_rows(*args, opts)
+    loop = annotate_rows_loop(*args, opts)
+    assert fast.num_rows == loop.num_rows > 0
+    unfiltered = annotate_rows(
+        *args, AnnotateOptions(score="cvalueh", expand_hierarchy_levels=2))
+    assert unfiltered.num_rows > fast.num_rows  # the threshold fired
+    assert min(fast.column("score").to_pylist()) >= 5.0
+
+
+def test_template_registry_is_reusable_across_batches(env):
+    """Actor-lifetime template cache: annotating two disjoint halves
+    with ONE shared registry must equal fresh-registry runs — including
+    the second half, whose output dictionaries come from a registry
+    already grown by the first half."""
+    from kgref.schemas import AnnotateOptions
+    from kgref.stages.annotate import TemplateRegistry
+
+    state, tr, _ = env
+    opts = AnnotateOptions(expand_hierarchy_levels=999, expand_mappings=True)
+    convs = tr.column("conv_id").to_pylist()
+    turns = tr.column("turn_idx").to_pylist()
+    texts = tr.column("text").to_pylist()
+    h = len(texts) // 2
+    shared = TemplateRegistry(state, opts)
+
+    def rowset(t):
+        cols = ["subj", "pred", "obj", "match_type", "distance",
+                "matched_text", "pref_label", "cui"]
+        data = {c: t.column(c).to_pylist() for c in cols}
+        return {tuple(data[c][i] for c in cols) for i in range(t.num_rows)}
+
+    for lo, hi in [(0, h), (h, len(texts))]:
+        cached = annotate_rows(convs[lo:hi], turns[lo:hi], texts[lo:hi],
+                               state, opts, registry=shared)
+        fresh = annotate_rows(convs[lo:hi], turns[lo:hi], texts[lo:hi],
+                              state, opts)
+        assert rowset(cached) == rowset(fresh)
+    assert len(shared.tmpl_slice) > 0  # the cache actually filled
 
 
 def _mini_state(stop_words=()):
