@@ -37,14 +37,17 @@ DUP_TAU = 0.45
 # recall 0.025 at sf0.01 — collision probability for a cos≈0.45 pair is
 # (1 - θ/π)^planes ≈ 0.03 at 12 planes and no amplification can come
 # from one table.  With L tables of P planes and probing each query's
-# own bucket + all P hamming-1 flips, per-table hit prob for cos 0.45 is
-# p^P + P·p^(P-1)(1-p) ≈ 0.17 (p = 1 - θ/π ≈ 0.65) and table-OR gives
-# 1-(1-0.17)^16 ≈ 0.95.  Cost: L·(P+1)/2^P of the corpus scanned per
-# query — 56% at P=8 (tiny fixture corpora: buckets barely thin 5k
-# rows), but P scales as ~log2(n) at real scale: P=20 at 10^9 rows
-# → 16·21/2^20 ≈ 0.03% scanned with the same recall curve.
+# own bucket + every bucket within hamming ≤ LSH_PROBE_RADIUS, the
+# per-table hit prob is Σ_{i≤R} C(P,i) p^(P-i) (1-p)^i.  Exact top-k
+# neighbors at sf0.01 sit around cos 0.26–0.41 (p = 1 - θ/π ≈ 0.58 at
+# cos 0.26): hamming-1 probing gave measured recall 0.875; at R=2 the
+# per-table prob is ≈ 0.28 and table-OR 1-(1-0.28)^16 ≈ 0.995.  Cost:
+# L·Σ C(P,i)/2^P of the corpus scanned per query — saturates the tiny
+# fixture corpus, but P scales as ~log2(n) at real scale: P=20 at 10^9
+# rows → 16·211/2^20 ≈ 0.3% scanned with the same recall curve.
 LSH_TABLES = 16
 LSH_PLANES = 8  # per table
+LSH_PROBE_RADIUS = 2  # probe all buckets within this hamming distance
 
 
 def _normalized_matrix(sf_dir: str, where_max_id: int | None = None):
@@ -272,10 +275,10 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
     L = LSH_TABLES independent tables of P = LSH_PLANES hyperplanes
     each; a vector lands in ONE sign bucket per table.  A corpus row is
     a candidate for a query iff it shares a probed bucket in ANY table
-    (OR-amplification) — the query probes its own bucket plus all P
-    hamming-1 flips per table.  Candidates get exact cosine; top-k as
-    in the exact path.  See the constants' comment for the recall/cost
-    math and how P scales with corpus size."""
+    (OR-amplification) — the query probes every bucket within hamming
+    LSH_PROBE_RADIUS of its own, per table.  Candidates get exact
+    cosine; top-k as in the exact path.  See the constants' comment for
+    the recall/cost math and how P scales with corpus size."""
     import ray
     import ray.data as rd
 
@@ -291,16 +294,18 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
         return ((proj > 0).astype(np.int64) * pow2).sum(axis=2)
 
     # probe LUT per table: (L, 2^P, nq) bool — probed[t, b, qi] iff
-    # bucket b of table t is the query's own bucket or a hamming-1 flip
+    # bucket b of table t is within hamming LSH_PROBE_RADIUS of the
+    # query's own bucket (vectorized: popcount of b XOR base via a
+    # precomputed 2^P popcount table)
     nq = len(qids)
     qbuckets = buckets_of(qmat)  # (nq, L)
-    probed = np.zeros((LSH_TABLES, 1 << LSH_PLANES, nq), dtype=bool)
-    for qi in range(nq):
-        for t in range(LSH_TABLES):
-            base = int(qbuckets[qi, t])
-            probed[t, base, qi] = True
-            for p in range(LSH_PLANES):
-                probed[t, base ^ (1 << p), qi] = True
+    all_b = np.arange(1 << LSH_PLANES, dtype=np.int64)
+    popcnt = np.zeros(1 << LSH_PLANES, dtype=np.int8)
+    for p in range(LSH_PLANES):
+        popcnt += ((all_b >> p) & 1).astype(np.int8)
+    # (L, 2^P, nq): hamming(b, qbuckets[qi, t]) <= R
+    probed = (popcnt[all_b[None, :, None] ^ qbuckets.T[:, None, :]]
+              <= LSH_PROBE_RADIUS)
     ref = ray.put((qids, qmat, probed))
 
     # stateless task (not a fixed actor pool): plasma ray.get is a

@@ -89,6 +89,24 @@ def test_minhash_lsh_finds_the_planted_near_dups(ray_session):
     assert strong <= cand
 
 
+def test_probabilistic_recall_floors(ray_session):
+    """Quantified recall gates (VERDICT r2 task 5): the probabilistic
+    paths must recover >= 90% of what their exact siblings find.
+    Deterministic fixtures + fixed hash seeds make the measured numbers
+    stable (1.0 / 1.0 / 1.0 at sf0.001; 1.0 / 0.96 / 1.0 at sf0.01 —
+    recorded in COVERAGE.md via scripts/measure_recall.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from measure_recall import measure
+
+    r = measure(SF)
+    assert r["planted_pairs"] > 0 and r["ann_exact_rows"] > 0
+    assert r["minhash_recall"] >= 0.9, r
+    assert r["simhash_recall"] >= 0.9, r
+    assert r["ann_lsh_recall"] >= 0.9, r
+
+
 def test_simhash_pairs_are_symmetric_free_and_within_radius(ray_session):
     from kgref.ops.dedup import SIMHASH_RADIUS, simhash_pairs
 
@@ -96,6 +114,29 @@ def test_simhash_pairs_are_symmetric_free_and_within_radius(ray_session):
     assert (t["doc_a"] < t["doc_b"]).all()
     assert (t["hamming"] <= SIMHASH_RADIUS).all()
     assert not t.duplicated(subset=["doc_a", "doc_b"]).any()
+
+
+def test_simhash_chunk_pair_buckets_are_lossless(ray_session):
+    """The Manku chunk-PAIR pigeonhole is a *lossless* candidate
+    generator for hamming <= 6 (<= 6 flipped bits leave >= 2 of the 8
+    byte-chunks intact, so the pair shares >= 1 chunk-pair key): the
+    distributed result must equal the brute-force signature scan."""
+    from kgref.ops.dedup import SIMHASH_RADIUS, _simhash64, simhash_pairs
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    sigs = np.array([_simhash64(d["text"]) for d in docs],
+                    dtype=np.uint64)
+    ids = np.array([d["doc_id"] for d in docs], dtype=np.int64)
+    xors = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros(xors.shape, dtype=np.int32)
+    for b in range(64):
+        ham += ((xors >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
+    ii, jj = np.where(ham <= SIMHASH_RADIUS)
+    want = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(ii, jj) if ids[i] != ids[j]}
+    got = simhash_pairs(SF).to_pandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
 
 
 # ---------------------------------------------------------------------------
