@@ -2,15 +2,17 @@
 columns with typed metadata, decoded/feature-extracted in actor-pool
 ``map_batches`` stages.
 
-Image and audio DECODE is REAL: dependency-free pure-Python/numpy
-parsers for 24-bit uncompressed BMP, binary PPM (P6), and 16-bit PCM
-RIFF/WAVE — formats whose containers need no codec library.  The media
-column is synthesized deterministically as genuine BMP/PPM/WAV files
-(attach_fake_media writes real headers), so the decode path exercised
-is the production one end-to-end.  Only VIDEO remains a clearly-marked
-stub (the "KGF1" raw-frame container): real video codecs cannot be
-reimplemented dependency-free, and unknown magics raise
-``NotImplementedError``.
+ALL THREE modalities DECODE REAL CONTAINERS: dependency-free
+pure-Python/numpy parsers for 24-bit uncompressed BMP, binary PPM
+(P6), 16-bit PCM RIFF/WAVE, and uncompressed-DIB RIFF/AVI video
+(LIST hdrl/strl header walk + '00db' frame chunks — the same RIFF
+chunk grammar as WAVE, so the walker is shared in spirit).  The media
+column is synthesized deterministically as genuine BMP/PPM/WAV/AVI
+files (attach_fake_media writes real headers), so the decode path
+exercised is the production one end-to-end.  Compressed codecs
+(PNG/JPEG/MP3/H.264) need libraries absent from this environment;
+their magics raise ``ValueError`` at dispatch — a real deployment
+registers codecs in ``MediaFeatures.__init__``.
 
 Scale notes: binary payloads dominate block bytes, so these stages run
 with a SMALL ``batch_size`` (``MEDIA_BATCH``) and rely on the streaming
@@ -51,8 +53,6 @@ FEATURES = pa.schema(
     ]
 )
 
-MAGIC = b"KGF1"  # video-only raw-frame stub container
-FRAME_BYTES = 64
 MEDIA_BATCH = 64  # small: payload bytes, not row count, bound the block
 
 
@@ -85,7 +85,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (bpp,) = struct.unpack_from("<H", data, 28)
     (compression,) = struct.unpack_from("<I", data, 30)
     if bpp != 24 or compression != 0:
-        raise NotImplementedError("only 24-bit uncompressed BMP")
+        raise ValueError("only 24-bit uncompressed BMP supported")
     flip = h > 0
     h = abs(h)
     row_bytes = (w * 3 + 3) & ~3
@@ -114,14 +114,14 @@ def decode_ppm(data: bytes) -> np.ndarray:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
         if data[pos : pos + 1] == b"#":
-            raise NotImplementedError("PPM comments not supported")
+            raise ValueError("PPM comments not supported")
         start = pos
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
     w, h, maxval = fields
     if maxval != 255:
-        raise NotImplementedError("only maxval=255 PPM")
+        raise ValueError("only maxval=255 PPM supported")
     pos += 1  # single whitespace after maxval
     return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
 
@@ -148,7 +148,7 @@ def decode_wav(data: bytes) -> np.ndarray:
             audio_fmt, _ch, _rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, pos + 8)
             if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit PCM WAVE")
+                raise ValueError("only 16-bit PCM WAVE supported")
             fmt_ok = True
         elif cid == b"data":
             samples = np.frombuffer(data, "<i2", count=size // 2,
@@ -157,6 +157,100 @@ def decode_wav(data: bytes) -> np.ndarray:
     if not fmt_ok or samples is None:
         raise ValueError("WAVE missing fmt/data chunk")
     return samples
+
+
+def _dib_rows(pixels: np.ndarray) -> bytes:
+    """Bottom-up BGR rows padded to 4 bytes — the shared DIB frame body
+    of both BMP files and AVI '00db' chunks."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    return b"".join(pixels[y, :, ::-1].tobytes() + pad
+                    for y in range(h - 1, -1, -1))
+
+
+def _dib_samples(body: bytes, w: int, h: int) -> np.ndarray:
+    """Inverse of _dib_rows → (h*w*3,) uint8 RGB samples."""
+    row_bytes = (w * 3 + 3) & ~3
+    raw = np.frombuffer(body, np.uint8, count=row_bytes * h)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].reshape(-1)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """RIFF/AVI, single 'vids' stream of uncompressed 24-bit DIB
+    ('00db') frames, from an (n, h, w, 3) uint8 array.  Standard
+    layout: LIST hdrl (avih + LIST strl (strh + strf)) then LIST movi
+    then idx1."""
+    n, h, w, _ = frames.shape
+    frame_size = ((w * 3 + 3) & ~3) * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       1_000_000 // fps, frame_size * fps, 0,
+                       0x10,  # AVIF_HASINDEX
+                       n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh",
+                       b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+                       frame_size, 0, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       2835, 2835, 0, 0)  # BITMAPINFOHEADER
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = [chunk(b"00db", _dib_rows(frames[i])) for i in range(n)]
+    movi = lst(b"movi", b"".join(movi_frames))
+    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
+    off, entries = 4, []
+    for fr in movi_frames:
+        entries.append(struct.pack("<4sIII", b"00db", 0x10,
+                                   off, len(fr) - 8 - (len(fr) & 1)))
+        off += len(fr)
+    idx1 = chunk(b"idx1", b"".join(entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """(flat uint8 RGB samples across all frames, n_frames) from an
+    uncompressed-DIB RIFF/AVI — the WAVE chunk walk, recursing into
+    LIST chunks and reading geometry from the strf BITMAPINFOHEADER."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    geom: list[tuple[int, int]] = []  # (w, h) from strf
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)  # skip the list type
+            elif cid == b"strf":
+                hsz, w, h, _planes, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", data, body_at)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        "only 24-bit uncompressed DIB AVI supported")
+                geom.append((w, abs(h)))
+            elif cid in (b"00db", b"00dc"):
+                frames.append(data[body_at : body_at + size])
+            pos = body_at + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if not geom:
+        raise ValueError("AVI missing strf header")
+    if not frames:
+        return np.empty(0, np.uint8), 0
+    w, h = geom[0]
+    return (np.concatenate([_dib_samples(f, w, h) for f in frames]),
+            len(frames))
 
 
 # ---------------------------------------------------------------------------
@@ -174,8 +268,8 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def attach_fake_media(ds):
     """Deterministically synthesize a binary media column from text:
     sha256-expanded bytes rendered as REAL format files — BMP (even
-    doc_id) / PPM (odd) for images, 16-bit PCM WAV for audio, and the
-    KGF1 raw-frame stub container for video."""
+    doc_id) / PPM (odd) for images, 16-bit PCM WAV for audio, and
+    uncompressed-DIB RIFF/AVI for video."""
 
     def attach(batch: pa.Table) -> pa.Table:
         payloads, mtypes, ws, hs = [], [], [], []
@@ -196,7 +290,11 @@ def attach_fake_media(ds):
                            * 257 - 32768).astype(np.int16)
                 payloads.append(encode_wav(samples))
             else:
-                payloads.append(MAGIC + body)
+                nf = did % 5 + 2
+                need = nf * w * h * 3
+                pix = np.frombuffer((body * (need // len(body) + 1))[:need],
+                                    np.uint8).reshape(nf, h, w, 3)
+                payloads.append(encode_avi(pix))
             mtypes.append(mt)
             ws.append(w)
             hs.append(h)
@@ -218,27 +316,27 @@ class MediaFeatures:
     ``__init__`` (the stateful-stage pattern: codec setup happens at
     actor start, not per batch).  Decoded uint8 samples (RGB pixels;
     PCM mapped to unsigned 8-bit) feed a 16-bin normalized histogram.
-    Video is the KGF1 raw-frame stub; any other magic raises
-    ``NotImplementedError`` — a real deployment would register codecs
-    here."""
+    Compressed codecs need libraries absent here; unknown magics raise
+    ``ValueError`` — a real deployment registers more codecs here."""
 
     def __init__(self):
         self._bins = np.linspace(0, 256, 17)
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        """→ uint8 sample array (pixels or level-shifted PCM)."""
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        """→ (uint8 sample array — pixels or level-shifted PCM —,
+        n_frames)."""
         if payload[:2] == b"BM":
-            return decode_bmp(payload)
+            return decode_bmp(payload), 1
         if payload[:2] == b"P6":
-            return decode_ppm(payload)
-        if payload[:4] == b"RIFF":
+            return decode_ppm(payload), 1
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             s = decode_wav(payload)
-            return ((s.astype(np.int32) + 32768) >> 8).astype(np.uint8)
-        if payload[:4] == MAGIC:  # video stub container: raw frames
-            return np.frombuffer(payload[len(MAGIC):], dtype=np.uint8)
-        raise NotImplementedError(
+            return ((s.astype(np.int32) + 32768) >> 8).astype(np.uint8), 1
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return decode_avi(payload)
+        raise ValueError(
             "no codec for this container in this environment "
-            "(supported: BMP, PPM/P6, 16-bit PCM WAVE, KGF1 raw frames)")
+            "(supported: BMP, PPM/P6, 16-bit PCM WAVE, DIB AVI)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, mtypes, nbytes, nframes, feats, thumbs = \
@@ -249,15 +347,13 @@ class MediaFeatures:
                 batch.column("payload").to_pylist(),
                 batch.column("width").to_pylist(),
                 batch.column("height").to_pylist()):
-            body = self._decode(payload)
+            body, nf = self._decode(payload)
             hist, _ = np.histogram(body, bins=self._bins)
             total = max(1, hist.sum())
             doc_ids.append(did)
             mtypes.append(mt)
             nbytes.append(len(payload))
-            # frame sampling: every FRAME_BYTES-sample block of a video
-            nframes.append(max(1, len(body) // FRAME_BYTES) if mt == "video"
-                           else 1)
+            nframes.append(nf)  # real frame count from the container
             feats.append((hist / total).astype(np.float32))
             if mt == "image" and len(body) == w * h * 3:
                 thumb = resize_nearest(body.reshape(h, w, 3), 8, 8)

@@ -272,20 +272,27 @@ def test_media_features_schema_and_determinism(ray_session):
     np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-5)
     assert set(t.column("media_type").to_pylist()) <= {"image", "audio",
                                                         "video"}
+    # video frame counts come from the real AVI container header walk:
+    # the synthesizer wrote doc_id % 5 + 2 frames per video doc
+    vids = [(d, nf) for d, mt, nf in zip(t.column("doc_id").to_pylist(),
+                                         t.column("media_type").to_pylist(),
+                                         t.column("n_frames").to_pylist())
+            if mt == "video"]
+    assert vids and all(nf == d % 5 + 2 for d, nf in vids)
 
 
-def test_decode_stub_rejects_real_formats():
+def test_decode_rejects_unknown_containers():
     from kgref.ops.multimodal import MediaFeatures
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         MediaFeatures()._decode(b"\x89PNG\r\n\x1a\n....")
 
 
 def test_media_codecs_roundtrip():
     """Real pure-Python codecs: encode → decode recovers the samples."""
     from kgref.ops.multimodal import (
-        decode_bmp, decode_ppm, decode_wav,
-        encode_bmp, encode_ppm, encode_wav,
+        decode_avi, decode_bmp, decode_ppm, decode_wav,
+        encode_avi, encode_bmp, encode_ppm, encode_wav,
     )
 
     rng = np.random.RandomState(9)
@@ -293,17 +300,25 @@ def test_media_codecs_roundtrip():
         pix = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         assert (decode_bmp(encode_bmp(pix)) == pix.reshape(-1)).all()
         assert (decode_ppm(encode_ppm(pix)) == pix.reshape(-1)).all()
+        frames = rng.randint(0, 256, (4, h, w, 3), dtype=np.uint8)
+        samples, nf = decode_avi(encode_avi(frames))
+        assert nf == 4
+        assert (samples == frames.reshape(-1)).all()
     s = rng.randint(-32768, 32768, 777).astype(np.int16)
     assert (decode_wav(encode_wav(s)) == s).all()
 
 
 def test_media_decode_dispatch_real_formats():
-    from kgref.ops.multimodal import MediaFeatures, encode_wav
+    from kgref.ops.multimodal import MediaFeatures, encode_avi, encode_wav
 
     mf = MediaFeatures()
     s = np.arange(-100, 100, dtype=np.int16)
-    out = mf._decode(encode_wav(s))
-    assert out.dtype == np.uint8 and len(out) == len(s)
+    out, nf = mf._decode(encode_wav(s))
+    assert out.dtype == np.uint8 and len(out) == len(s) and nf == 1
+    # both RIFF forms route by the 'WAVE'/'AVI ' form-type, not 'RIFF'
+    frames = np.zeros((3, 4, 4, 3), dtype=np.uint8)
+    out, nf = mf._decode(encode_avi(frames))
+    assert nf == 3 and len(out) == frames.size
 
 
 def test_sample_docs_deterministic_and_exact(ray_session):
