@@ -64,6 +64,70 @@ def test_state_loads_from_built_dir(built, fixture_bundle):
     assert td.match("AGGREGATE HUMAN DATA IS HERE".upper())
 
 
+def test_distributed_build_matches_driver_path(built, tmp_path):
+    """VERDICT r2 task 10: the size-triggered distributed sort-rank path
+    must emit the SAME labels table (rows and order) and the same mgrep
+    TSV bytes as the driver path.  num_output_blocks=7 forces the sorted
+    run to split across block boundaries so the continuation logic
+    (first-term == previous-last-term) is actually exercised."""
+    out, classes_path, driver_metrics = built
+    assert driver_metrics["path"] == "driver"
+    out2 = os.path.join(str(tmp_path), "dist")
+    m2 = build_dictionary(classes_path, out2, write_mgrep_tsv=True,
+                          force_distributed=True, num_output_blocks=7)
+    assert m2["path"] == "distributed"
+    for k in ("terms", "labels", "closure"):
+        assert m2[k] == driver_metrics[k], (k, m2, driver_metrics)
+    want = pq.read_table(os.path.join(out, "labels.parquet")).combine_chunks()
+    got = pq.read_table(os.path.join(out2, "labels.parquet")).combine_chunks()
+    assert got.equals(want)
+    assert (open(os.path.join(out2, "mgrep_dictionary.tsv")).read()
+            == open(os.path.join(out, "mgrep_dictionary.tsv")).read())
+
+
+def test_block_boundary_continuation_offsets():
+    """Pure-function pin of the distributed id math: slice a sorted
+    label table INSIDE term runs and check the summary→offset recursion
+    plus per-block dense-rank reproduce the global dense ids exactly
+    (the fixture dictionary's runs are too short to split naturally)."""
+    import pyarrow as pa
+
+    from kgref.pipelines.dictionary_build import (_attach_ids_sorted_block,
+                                                  _summarize_sorted_block)
+    from kgref.schemas import LABELS
+
+    terms = (["ALPHA"] * 3 + ["BETA"] * 4 + ["GAMMA"] * 1 + ["DELTA"] * 5)
+    terms.sort()
+    n = len(terms)
+    tbl = pa.Table.from_arrays(
+        [pa.array([0] * n, pa.int64()), pa.array(terms),
+         pa.array([f"c{i}" for i in range(n)]),
+         pa.array(["ONT"] * n), pa.array(["PREF"] * n)],
+        schema=LABELS).select(
+            ["term_id", "term_norm", "class_uri", "ontology", "match_type"])
+    # cuts at 2, 5, 6, 9 fall inside the ALPHA, BETA and DELTA runs
+    cuts = [0, 2, 5, 6, 9, n]
+    blocks = [tbl.slice(a, b - a) for a, b in zip(cuts, cuts[1:])]
+    prev_last_term, prev_last_id = None, 0
+    got_ids, got_terms = [], []
+    for blk in blocks:
+        first, last, d, _rows = _summarize_sorted_block(blk)
+        cont = first == prev_last_term
+        start = prev_last_id if cont else prev_last_id + 1
+        out, pairs = _attach_ids_sorted_block(blk, start)
+        got_ids.extend(out.column("term_id").to_pylist())
+        got_terms.extend(p for i, p in enumerate(pairs)
+                         if not (cont and i == 0))
+        prev_last_id = start + d - 1
+        prev_last_term = last
+    # global dense rank computed the obvious way
+    uniq = sorted(set(terms))
+    rank = {t: i + 1 for i, t in enumerate(uniq)}
+    assert got_ids == [rank[t] for t in terms]
+    assert got_terms == [(rank[t], t) for t in uniq]
+    assert prev_last_id == len(uniq)
+
+
 def test_mgrep_tsv_shape(built):
     out, _cp, metrics = built
     lines = open(os.path.join(out, "mgrep_dictionary.tsv")).read().splitlines()
