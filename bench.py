@@ -117,6 +117,37 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
             "turns_per_sec": round(n_turns / wall, 1)}
 
 
+def bench_annotate_scored(sf_dir: str, num_cpus: int) -> dict:
+    """Scored flagship config (A4 cvalue) over the same replicated
+    input, annotate stage only — tracks the vectorized scored fan-out
+    (VERDICT r2 task 4) round-over-round next to the unscored headline."""
+    import ray
+
+    from kgref import docdict
+    from kgref.pipelines.annotate_pipeline import build_triples
+    from kgref.schemas import AnnotateOptions, PipelineConfig
+
+    import pyarrow.parquet as pq
+
+    cfg = PipelineConfig(
+        num_buckets=128,
+        batch_size=max(32, 1024 // REPLICATE),
+        annotate_concurrency=max(2, num_cpus - 2),
+        options=AnnotateOptions(expand_hierarchy_levels=2,
+                                expand_mappings=True, score="cvalue"),
+    )
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_turns = n_docs * REPLICATE
+    t0 = time.time()
+    triples = build_triples(_replicated_transcripts(sf_dir, REPLICATE),
+                            ray.put(docdict.state()), cfg.options, cfg)
+    n_triples = triples.count()
+    wall = time.time() - t0
+    return {"sec": round(wall, 3), "turns": n_turns,
+            "triples": n_triples, "stage": "annotate",
+            "turns_per_sec": round(n_turns / wall, 1)}
+
+
 def bench_query(fn, sf_dir: str) -> dict:
     t0 = time.time()
     res = fn(sf_dir)
@@ -136,6 +167,8 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
         ann = bench_annotate(sf_dir, num_cpus)
         queries["annotate_flagship"] = ann
         if not headline_only:
+            queries["annotate_scored_cvalue"] = bench_annotate_scored(
+                sf_dir, num_cpus)
             from kgref.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
             from kgref.ops.similarity import ann_topk, embedding_dup_pairs
             from kgref.ops.textstats import quality_score, token_stats

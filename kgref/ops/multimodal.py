@@ -370,16 +370,21 @@ class MediaFeatures:
         )
 
 
-def media_features(sf_dir: str):
+def media_features(sf_dir: str, concurrency: int | None = None):
     """rows-only query: documents → synthesized real-format media →
-    actor-pool decode + features."""
+    actor-pool decode + features.  ``concurrency`` defaults to half the
+    cluster's CPUs (library-call sizing); the decode pool is the only
+    stage here, so it may take most of the node."""
     import ray.data as rd
+
+    from .pairs import default_pool_size
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     media = attach_fake_media(ds)
     return media.map_batches(MediaFeatures, batch_format="pyarrow",
-                             batch_size=MEDIA_BATCH, concurrency=2)
+                             batch_size=MEDIA_BATCH,
+                             concurrency=concurrency or default_pool_size())
 
 
 def register(q: dict, o: dict | None = None) -> None:

