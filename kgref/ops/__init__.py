@@ -6,36 +6,29 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    contamination,
     dedup,
     events,
     multimodal,
     normalize,
+    packing,
     relational,
     sampling,
     similarity,
     textstats,
+    tfidf,
     vocab,
 )
 
+_MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
+            events, relational, vocab, packing, contamination, tfidf)
+
 
 def register_queries(q: dict) -> None:
-    dedup.register(q)
-    normalize.register(q)
-    sampling.register(q)
-    similarity.register(q)
-    textstats.register(q)
-    multimodal.register(q)
-    events.register(q)
-    relational.register(q)
-    vocab.register(q)
+    for m in _MODULES:
+        m.register(q)
 
 
 def register_oracles(o: dict) -> None:
-    dedup.register({}, o)
-    normalize.register({}, o)
-    sampling.register({}, o)
-    similarity.register({}, o)
-    textstats.register({}, o)
-    events.register({}, o)
-    relational.register({}, o)
-    vocab.register({}, o)
+    for m in _MODULES:
+        m.register({}, o)

@@ -67,7 +67,63 @@ FROM s3 WHERE xor(z3, z3 // {1 << 31}) % 100 < {pct}
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain-reweighted (stratified) sampling — static per-domain keep rates
+# (the DoReMi/Pile-style "mix languages at fixed weights" step).  Same
+# stateless splitmix64 decision, but the rate is looked up per row from
+# a tiny broadcast map and the hash stream is offset so the sample is
+# independent of sample_docs over the same corpus.
+
+LANG_RATES = {"en": 50, "de": 30}  # percent; every other lang 10
+DEFAULT_RATE = 10
+_STRAT_OFFSET = 1_000_003  # distinct hash stream vs sample_docs
+
+
+def sample_stratified(sf_dir: str, rates: dict[str, int] | None = None):
+    """Per-language Bernoulli sample at language-specific rates."""
+    import ray.data as rd
+
+    rates = LANG_RATES if rates is None else rates
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = splitmix64(batch.column("doc_id").to_numpy().astype(np.uint64)
+                       + np.uint64(_STRAT_OFFSET))
+        # rate per row via the dictionary path: one dict lookup per
+        # UNIQUE lang in the batch, broadcast with take
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch.column("lang")).combine_chunks()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.chunk(0)
+        lut = np.array([rates.get(v, DEFAULT_RATE)
+                        for v in enc.dictionary.to_pylist()], np.uint64)
+        rate = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(h % np.uint64(100) < rate))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_stratified_sql(rates: dict[str, int] | None = None) -> str:
+    rates = LANG_RATES if rates is None else rates
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items()))
+    rate = f"(CASE lang {whens} ELSE {DEFAULT_RATE} END)"
+    z1 = f"(CAST(doc_id AS HUGEINT) + {_STRAT_OFFSET} + {_C1}) % {_M64}"
+    z2 = _sql_mul64(f"xor(z1, z1 // {1 << 30})", _C2)
+    z3 = _sql_mul64(f"xor(z2, z2 // {1 << 27})", _C3)
+    return f"""
+WITH s1 AS (SELECT doc_id, lang, source, n_chars, {z1} AS z1 FROM documents),
+s2 AS (SELECT *, {z2} AS z2 FROM s1),
+s3 AS (SELECT *, {z3} AS z3 FROM s2)
+SELECT doc_id, lang, source, n_chars
+FROM s3 WHERE xor(z3, z3 // {1 << 31}) % 100 < {rate}
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["sample_docs"] = sample_docs
+    q["sample_stratified"] = sample_stratified
     if o is not None:
         o["sample_docs"] = sample_docs_sql()
+        o["sample_stratified"] = sample_stratified_sql()
