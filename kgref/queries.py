@@ -406,6 +406,20 @@ def _events_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _annotations_nested(sf_dir: str):
+    """Reference-shape nested serializer (S5/D5 recovery path): flat
+    triples → one JSON object per turn with spans/direct/hierarchy/
+    mappings nested.  Rows-only gate (nested JSON isn't
+    SQL-hash-comparable); the exact round-trip contract — parse the
+    JSON back, recover the flat triple multiset — lives in
+    tests/test_serialize.py."""
+    from .stages.serialize import nest_annotations
+
+    t = _annotate_ds(sf_dir, AnnotateOptions(expand_hierarchy_levels=2,
+                                             expand_mappings=True))
+    return nest_annotations(t, num_buckets=_QUERY_BUCKETS)
+
+
 def _top_users(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -434,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_turns"] = _conv_turns
     q["conv_triple_counts"] = _conv_triple_counts
     q["conv_subgraph"] = _conv_subgraph
+    q["annotations_nested"] = _annotations_nested
     q["class_frequencies"] = _class_frequencies
     q["events_agg"] = _events_agg
     q["top_users"] = _top_users
