@@ -6,12 +6,14 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    clusters,
     contamination,
     dedup,
     events,
     multimodal,
     normalize,
     packing,
+    pii,
     relational,
     sampling,
     similarity,
@@ -21,7 +23,8 @@ from . import (
 )
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
-            events, relational, vocab, packing, contamination, tfidf)
+            events, relational, vocab, packing, contamination, tfidf, pii,
+            clusters)
 
 
 def register_queries(q: dict) -> None:

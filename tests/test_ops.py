@@ -5,6 +5,7 @@ ANN vs a numpy oracle, text stats, and multimodal plumbing."""
 import math
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -604,3 +605,50 @@ def test_sample_stratified_rates_and_determinism(ray_session):
     frac = (got.groupby("lang").size()
             / docs.groupby("lang").size()).dropna()
     assert frac["en"] > frac.drop(index=["en", "de"], errors="ignore").max()
+
+
+def test_label_propagation_merges_transitive_chains(ray_session):
+    """A-B, B-C (no A-C edge) must land in ONE component labeled by the
+    min node; disjoint pairs stay separate; a long chain converges."""
+    import ray.data as rd
+
+    from kgref.ops.clusters import label_propagation
+
+    def edges_of(pairs):
+        t = pa.Table.from_pydict({
+            "node": [a for a, b in pairs] + [b for a, b in pairs],
+            "nbr": [b for a, b in pairs] + [a for a, b in pairs]})
+        return rd.from_arrow(t.cast(pa.schema(
+            [("node", pa.int64()), ("nbr", pa.int64())])))
+
+    # chain 1-2-3 + disjoint pair (10, 11) + chain 20..27 (diameter 7)
+    pairs = [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(20, 27)]
+    got = label_propagation(edges_of(pairs)).to_pandas()
+    comp = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert all(comp[i] == 20 for i in range(20, 28))
+    assert len(comp) == 13
+
+
+def test_redact_pii_counts_and_placeholders(ray_session):
+    """Planted PII is found, counted and replaced; clean rows get 0s."""
+    from kgref.ops.pii import redact_batch
+
+    col = pa.array([
+        "mail me at a.b+c@x-corp.io today",
+        "call 555-123-4567 or 555-999-0000",
+        "server at 10.0.255.3 port 80",
+        "clean text with no pii at all",
+        "mixed: u@v.com 192.168.1.1 555-000-1111",
+    ])
+    out = redact_batch(col)
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail me at [EMAIL] today"
+    assert red[1] == "call [PHONE] or [PHONE]"
+    assert red[2] == "server at [IP] port 80"
+    assert red[3] == "clean text with no pii at all"
+    assert red[4] == "mixed: [EMAIL] [IP] [PHONE]"
+    assert out["n_emails"].to_pylist() == [1, 0, 0, 0, 1]
+    assert out["n_phones"].to_pylist() == [0, 2, 0, 0, 1]
+    assert out["n_ips"].to_pylist() == [0, 0, 1, 0, 1]
