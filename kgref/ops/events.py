@@ -134,9 +134,61 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def window_funcs(sf_dir: str, n_parts: int | None = None):
+    """Per-event window functions — row_number / lag / gap within each
+    user's time-ordered stream (the LAG/RANK family Ray Data lacks as a
+    native op).  Same coarse user-partition + ONE vectorized pass shape
+    as sessionize: rank via run-boundary cumsum, lag via shift masked at
+    user boundaries.  Gaps are exact integer MICROseconds (int64 diff of
+    the µs timestamp), not float seconds, so the oracle compare can't
+    flip on float formatting.  First event of a user: gap_us=0,
+    prev_event_id=-1 (sentinels, not NULLs — keeps the value-hash
+    null-convention-free)."""
+    import functools
+
+    import ray.data as rd
+
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["user_id", "ts", "event_id"])
+
+    def wf(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["part"])
+              .sort_values(["user_id", "ts", "event_id"]))
+        new_user = df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        first_of_user = np.maximum.accumulate(np.where(new_user, idx, 0))
+        df["rnk"] = idx - first_of_user + 1
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts_us, prepend=ts_us[0] if len(ts_us) else 0)
+        df["gap_us"] = np.where(new_user, 0, gap)
+        prev = df["event_id"].shift(fill_value=-1).to_numpy()
+        df["prev_event_id"] = np.where(new_user, -1, prev)
+        return df[["event_id", "user_id", "ts", "rnk", "gap_us",
+                   "prev_event_id"]]
+
+    return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
+                           batch_format="pyarrow")
+            .groupby("part").map_groups(wf, batch_format="pandas"))
+
+
+def window_funcs_sql() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS gap_us,
+       coalesce(lag(event_id) OVER w, -1) AS prev_event_id
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["events_windowed"] = windowed_agg
     q["events_sessions"] = sessionize
+    q["events_window_funcs"] = window_funcs
     if o is not None:
         o["events_windowed"] = windowed_agg_sql()
         o["events_sessions"] = sessionize_sql()
+        o["events_window_funcs"] = window_funcs_sql()

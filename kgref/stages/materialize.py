@@ -189,7 +189,8 @@ def _key_codes(t: pa.Table, name: str) -> pa.Array:
 
 
 def _order_dedup_bucket(t: pa.Table,
-                        stats_dir: str | None = None) -> pa.Table:
+                        stats_dir: str | None = None,
+                        write_root: str | None = None) -> pa.Table:
     """O1 + U2 over one whole (bucket, salt) group — all Arrow C
     kernels, no per-row Python.  Exact because a bucket holds entire
     conversations (bucket = crc32(conv_id) % B): a multi-key sort with
@@ -251,6 +252,34 @@ def _order_dedup_bucket(t: pa.Table,
         with open(tmp, "w") as fh:
             json.dump(stats, fh)
         os.rename(tmp, os.path.join(stats_dir, f"{bid}-{salt}.json"))
+
+    if write_root is not None:
+        # Worker-side partitioned write: this group IS one (bucket, salt)
+        # partition, already sorted/deduped, sitting in this worker's
+        # heap — write it HERE instead of round-tripping 35M+ rows back
+        # through the object store into Ray's partitioned sink (measured
+        # ~20 s of pure overhead at 32 CPUs / REP=64, and it anti-scales:
+        # the sink serializes on one node's FS metadata).  Hive layout
+        # (bucket=NNNN/salt-S.parquet) is byte-compatible with the old
+        # write_parquet(partition_cols=["bucket"]) output; tmp+rename
+        # keeps a retried task idempotent (unique tmp, last rename wins).
+        import uuid
+
+        import pyarrow.parquet as pq
+        bid = int(t.column("bucket")[0].as_py()) if t.num_rows else 0
+        salt = int(t.column("salt")[0].as_py()) if t.num_rows else 0
+        if t.num_rows:
+            d = os.path.join(write_root, f"bucket={bid:04d}")
+            os.makedirs(d, exist_ok=True)
+            body = t.drop_columns(["bucket", "salt"])
+            tmpf = os.path.join(d, f".salt-{salt}-{uuid.uuid4().hex}.tmp")
+            pq.write_table(body, tmpf, compression="zstd")
+            os.rename(tmpf, os.path.join(d, f"salt-{salt}.parquet"))
+        # bucket-level metadata is all that flows downstream
+        return pa.Table.from_arrays(
+            [pa.array([bid], pa.int32()), pa.array([salt], pa.int32()),
+             pa.array([t.num_rows], pa.int64())],
+            names=["bucket", "salt", "rows"])
     return t
 
 
@@ -300,19 +329,22 @@ def materialize_conversations(
 
     # THE shuffle: co-locate whole conversations by bucket (hot convs
     # additionally split by range-salt), then ONE vectorized sort+dedup
-    # per group — not one pandas call per conversation.
-    grouped = salted.groupby(["bucket", "salt"]).map_groups(
-        lambda t: _order_dedup_bucket(t, stats_dir),
+    # per group — not one pandas call per conversation — and the
+    # partition file is written INSIDE the group task (each group is
+    # exactly one bucket=NNNN/salt-S.parquet partition; zstd for ~30%
+    # smaller files than snappy, measured wall-neutral).  Only bucket
+    # metadata rows flow out of the stage: the old
+    # write_parquet(partition_cols=...) sink re-shipped every triple
+    # through the object store into a second task wave, measured as
+    # ~20 s pure overhead at 32 CPUs / REP=64 (profile_phases.py) that
+    # ANTI-scaled with CPU count.
+    meta = salted.groupby(["bucket", "salt"]).map_groups(
+        lambda t: _order_dedup_bucket(t, stats_dir, write_root=staging),
         batch_format="pyarrow",
     )
-    grouped = grouped.drop_columns(["salt"])
-
-    # zstd over the default snappy: measured wall-neutral on this host
-    # (25-27 s either way at REP=64 under equal load) but ~30% smaller
-    # files (427→297 MB) — at 100 TB that is the cheaper storage AND
-    # the cheaper downstream re-read
-    grouped.write_parquet(staging, partition_cols=["bucket"],
-                          compression="zstd")
+    # consume the (bucket, salt, rows) metadata stream — drives the
+    # pipeline to completion; tiny (one row per salt group)
+    meta.sum("rows")
     t_written = time.time()
     if _dbg:
         print(f"[materialize] shuffle+write {t_written - t0:.1f}s",
