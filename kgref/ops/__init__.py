@@ -6,6 +6,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    chunking,
     clusters,
     contamination,
     dedup,
@@ -14,6 +15,7 @@ from . import (
     normalize,
     packing,
     pii,
+    quantiles,
     relational,
     sampling,
     similarity,
@@ -24,7 +26,7 @@ from . import (
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
-            clusters)
+            clusters, quantiles, chunking)
 
 
 def register_queries(q: dict) -> None:

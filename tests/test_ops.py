@@ -652,3 +652,41 @@ def test_redact_pii_counts_and_placeholders(ray_session):
     assert out["n_emails"].to_pylist() == [1, 0, 0, 0, 1]
     assert out["n_phones"].to_pylist() == [0, 2, 0, 0, 1]
     assert out["n_ips"].to_pylist() == [0, 0, 1, 0, 1]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_histogram_quantiles_match_numpy(seed):
+    """The histogram path must equal np.quantile(raw, method='linear')
+    exactly (same continuous-quantile definition as quantile_cont)."""
+    from kgref.ops.quantiles import QS, _histogram_quantiles
+
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 50, size=rng.randint(1, 500)).astype(np.int64)
+    v, c = np.unique(raw, return_counts=True)
+    got = dict(_histogram_quantiles(v, c))
+    for label, q in QS:
+        want = float(np.floor(np.quantile(raw, q, method="linear")
+                              * 10000 + 0.5) / 10000)
+        assert got[label] == want, (label, got[label], want)
+
+
+def test_chunk_batch_windows():
+    """Window/stride arithmetic: chunk k covers [k*S, k*S+W); last
+    chunk short but never empty; single-token and exact-boundary docs."""
+    from kgref.ops.chunking import chunk_batch
+
+    toks_a = [f"t{i}" for i in range(100)]   # 100 tokens: chunks at 0,48,96
+    toks_b = ["x"]                            # 1 token: one chunk
+    toks_c = [f"y{i}" for i in range(48)]     # exactly one stride: one chunk
+    t = chunk_batch(pa.array([1, 2, 3], pa.int64()),
+                    pa.array([" ".join(toks_a), " ".join(toks_b),
+                              " ".join(toks_c)]),
+                    window=64, stride=48).to_pandas()
+    a = t[t["doc_id"] == 1].sort_values("chunk_idx")
+    assert a["chunk_idx"].tolist() == [0, 1, 2]
+    assert a["n_tokens"].tolist() == [64, 52, 4]
+    assert a["chunk_text"].iloc[0] == " ".join(toks_a[0:64])
+    assert a["chunk_text"].iloc[1] == " ".join(toks_a[48:100])
+    assert a["chunk_text"].iloc[2] == " ".join(toks_a[96:100])
+    assert t[t["doc_id"] == 2]["chunk_text"].tolist() == ["x"]
+    assert t[t["doc_id"] == 3]["n_tokens"].tolist() == [48]
