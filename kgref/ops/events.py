@@ -184,11 +184,66 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+TOPN_PER_USER = 3
+
+
+def topn_per_user(sf_dir: str, n: int = TOPN_PER_USER,
+                  n_parts: int | None = None):
+    """Top-N rows PER GROUP (here: each user's N highest-value events)
+    — the ``row_number() OVER (...) <= N`` idiom Ray Data has no native
+    operator for.  Same coarse user-partition as the other event ops,
+    then ONE vectorized pass per partition: lexsort by (user, -value,
+    event_id) and keep rows whose within-run ordinal < N via the
+    run-boundary cumsum trick — no per-user Python, no full sort of the
+    table (only within the ~(rows/n_parts)-sized partition).
+
+    Value ties break on event_id ascending so the result is
+    deterministic and matches the SQL window ORDER BY exactly."""
+    import functools
+
+    import ray.data as rd
+
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(path, columns=["user_id", "event_id", "value"])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["part"])
+              .sort_values(["user_id", "value", "event_id"],
+                           ascending=[True, False, True]))
+        new_user = df["user_id"].ne(df["user_id"].shift()).to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        ordinal = idx - np.maximum.accumulate(np.where(new_user, idx, 0))
+        df["rnk"] = ordinal + 1
+        return df.loc[ordinal < n,
+                      ["user_id", "event_id", "value", "rnk"]]
+
+    return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
+                           batch_format="pyarrow")
+            .groupby("part").map_groups(topn, batch_format="pandas"))
+
+
+def topn_per_user_sql(n: int = TOPN_PER_USER) -> str:
+    return f"""
+SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY value DESC, event_id) AS BIGINT)
+           AS rnk
+  FROM events)
+WHERE rnk <= {n}
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["events_windowed"] = windowed_agg
     q["events_sessions"] = sessionize
     q["events_window_funcs"] = window_funcs
+    q["events_topn_per_user"] = topn_per_user
     if o is not None:
         o["events_windowed"] = windowed_agg_sql()
         o["events_sessions"] = sessionize_sql()
         o["events_window_funcs"] = window_funcs_sql()
+        o["events_topn_per_user"] = topn_per_user_sql()
