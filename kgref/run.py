@@ -58,6 +58,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "(default) or the regex scanner (§2.10 plugin)")
     p.add_argument("--hot-conv-rows", type=int, default=50_000)
     p.add_argument("--salt-chunk", type=int, default=8_192)
+    p.add_argument("--emit-jsonl", action="store_true",
+                   help="also export the reference-shape NESTED "
+                        "annotation objects as per-bucket JSONL under "
+                        "<out>/jsonl/ (stages.serialize)")
     return p.parse_args(argv)
 
 
@@ -104,6 +108,21 @@ def main(argv: list[str] | None = None) -> int:
                   else AnnotateTriples)
     metrics = run_pipeline(args.transcripts, args.dict_dir, args.out, opts,
                            cfg, recognizer=recognizer)
+    if args.emit_jsonl:
+        import os
+
+        from .pipelines.annotate_pipeline import build_triples
+        from .sources.transcripts import read_transcripts
+        from .state.dictionary import DictionaryState
+
+        state_ref = ray.put(DictionaryState.from_dir(args.dict_dir))
+        triples = build_triples(read_transcripts(args.transcripts),
+                                state_ref, opts, cfg, recognizer=recognizer)
+        from .stages.serialize import write_annotations_jsonl
+
+        metrics["jsonl_lines"] = write_annotations_jsonl(
+            triples, os.path.join(args.out, "jsonl"),
+            num_buckets=args.num_buckets)
     print(json.dumps(metrics))
     ray.shutdown()
     return 0
