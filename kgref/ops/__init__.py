@@ -21,12 +21,13 @@ from . import (
     similarity,
     textstats,
     tfidf,
+    topk,
     vocab,
 )
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
-            clusters, quantiles, chunking)
+            clusters, quantiles, chunking, topk)
 
 
 def register_queries(q: dict) -> None:

@@ -690,3 +690,18 @@ def test_chunk_batch_windows():
     assert a["chunk_text"].iloc[2] == " ".join(toks_a[96:100])
     assert t[t["doc_id"] == 2]["chunk_text"].tolist() == ["x"]
     assert t[t["doc_id"] == 3]["n_tokens"].tolist() == [48]
+
+
+def test_topk_table_exact_at_tie_boundary():
+    """Boundary ties must resolve doc_id-ascending, exactly like the
+    SQL ORDER BY value DESC, doc_id LIMIT k."""
+    from kgref.ops.topk import _topk_table
+
+    ids = np.array([9, 5, 7, 3, 8], dtype=np.int64)
+    vals = np.array([10, 10, 10, 12, 4], dtype=np.int64)  # three tie at 10
+    t = _topk_table(ids, vals, 3).to_pandas()
+    # want: (3,12), then ties at 10 by id asc: (5,10), (7,10)
+    assert list(zip(t["doc_id"], t["n_chars"])) == [(3, 12), (5, 10), (7, 10)]
+    # k >= n passthrough keeps total order
+    t2 = _topk_table(ids, vals, 10).to_pandas()
+    assert t2["doc_id"].tolist() == [3, 5, 7, 9, 8]
