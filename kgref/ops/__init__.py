@@ -6,6 +6,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    centroids,
     chunking,
     clusters,
     contamination,
@@ -27,7 +28,7 @@ from . import (
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
-            clusters, quantiles, chunking, topk)
+            clusters, quantiles, chunking, topk, centroids)
 
 
 def register_queries(q: dict) -> None:
