@@ -237,13 +237,124 @@ WHERE rnk <= {n}
 """
 
 
+ASOF_RIGHT_TYPE = "purchase"
+
+
+def asof_join(sf_dir: str, right_type: str = ASOF_RIGHT_TYPE,
+              n_parts: int | None = None):
+    """AS-OF join — each event joined to the most recent prior-or-equal
+    event of ``right_type`` by the same user (the time-series join Ray
+    Data has no native operator for; cf. pandas merge_asof / DuckDB
+    ASOF JOIN).
+
+    Shape: both sides share the user key, so ONE coarse user-partition
+    co-locates them and the join is a single vectorized merge pass per
+    partition — no per-user Python, no second shuffle.  Tie semantics
+    are made deterministic by deduping the right side to the max
+    event_id per (user, ts) BEFORE matching (mirrors the oracle's
+    row_number() DESC filter); matching is group-level (all events at
+    one (user, ts) see the same winner, including right-typed rows
+    matching themselves).
+
+    Output sentinels for "no prior purchase": prev_purchase_id = -1,
+    prev_purchase_v4 = -1 (value in half-up 4-decimal fixed point),
+    since_us = -1 — sentinels, not NULLs, keeping the value-hash
+    null-convention-free.  At 10^12 events the partition count scales
+    with input bytes (n_parts_for) and each partition costs one
+    O(p log p) lexsort."""
+    import functools
+
+    import ray.data as rd
+
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["part"])
+              .sort_values(["user_id", "ts", "event_id"]))
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_type": pd.Series([], dtype=object),
+                "prev_purchase_id": pd.Series([], dtype=np.int64),
+                "prev_purchase_v4": pd.Series([], dtype=np.int64),
+                "since_us": pd.Series([], dtype=np.int64)})
+        idx = np.arange(n, dtype=np.int64)
+        uid = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_grp = new_user.copy()
+        new_grp[1:] |= ts_us[1:] != ts_us[:-1]
+        g = np.cumsum(new_grp) - 1          # 0-based (user, ts) group id
+        n_groups = int(g[-1]) + 1
+        # winner per group: max-event_id right-typed row (rows are
+        # event_id-sorted within a group, so max row index = max id)
+        is_r = (df["event_type"] == right_type).to_numpy()
+        winner = np.full(n_groups, -1, dtype=np.int64)
+        np.maximum.at(winner, g[is_r], idx[is_r])
+        # inclusive group-level carry, reset at user boundaries: the
+        # global running max of winner row indices belongs to the
+        # current user iff it is >= the user's first row index
+        # (rows of one user are contiguous after the sort)
+        first_row_of_user = np.maximum.accumulate(
+            np.where(new_user, idx, 0))
+        grp_first_rows = idx[new_grp]
+        fu_g = first_row_of_user[grp_first_rows]
+        gacc = np.maximum.accumulate(winner)
+        gmatch = np.where(gacc >= fu_g, gacc, -1)
+        rowmatch = gmatch[g]
+        m = rowmatch >= 0
+        safe = np.where(m, rowmatch, 0)
+        eid = df["event_id"].to_numpy()
+        v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+        out = pd.DataFrame({
+            "event_id": eid, "user_id": uid, "ts": df["ts"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "prev_purchase_id": np.where(m, eid[safe], -1),
+            "prev_purchase_v4": np.where(m, v4[safe], -1),
+            "since_us": np.where(m, ts_us - ts_us[safe], -1)})
+        return out
+
+    return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
+                           batch_format="pyarrow")
+            .groupby("part").map_groups(asof, batch_format="pandas"))
+
+
+def asof_join_sql(right_type: str = ASOF_RIGHT_TYPE) -> str:
+    return f"""
+WITH r AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = '{right_type}')
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       coalesce(r.event_id, -1) AS prev_purchase_id,
+       coalesce(CAST(floor(r.value * 10000 + 0.5) AS BIGINT), -1)
+         AS prev_purchase_v4,
+       coalesce(epoch_us(e.ts) - epoch_us(r.ts), -1) AS since_us
+FROM events e ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["events_windowed"] = windowed_agg
     q["events_sessions"] = sessionize
     q["events_window_funcs"] = window_funcs
     q["events_topn_per_user"] = topn_per_user
+    q["events_asof_join"] = asof_join
     if o is not None:
         o["events_windowed"] = windowed_agg_sql()
         o["events_sessions"] = sessionize_sql()
         o["events_window_funcs"] = window_funcs_sql()
         o["events_topn_per_user"] = topn_per_user_sql()
+        o["events_asof_join"] = asof_join_sql()

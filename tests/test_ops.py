@@ -5,6 +5,7 @@ ANN vs a numpy oracle, text stats, and multimodal plumbing."""
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -705,3 +706,51 @@ def test_topk_table_exact_at_tie_boundary():
     # k >= n passthrough keeps total order
     t2 = _topk_table(ids, vals, 10).to_pandas()
     assert t2["doc_id"].tolist() == [3, 5, 7, 9, 8]
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Independent oracle: pandas merge_asof (backward, exact matches
+    allowed) on a right side deduped to max event_id per (user, ts) —
+    the same tie contract as the SQL ASOF oracle, reached by a
+    completely different code path."""
+    from kgref.ops.events import asof_join
+
+    got = (asof_join(SF, n_parts=4).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    right = (ev[ev["event_type"] == "purchase"]
+             .sort_values(["user_id", "ts", "event_id"])
+             .groupby(["user_id", "ts"], as_index=False).last())
+    m = pd.merge_asof(ev.sort_values("ts"), right.sort_values("ts"),
+                      on="ts", by="user_id", direction="backward",
+                      suffixes=("", "_r"))
+    hit = m["event_id_r"].notna()
+    m["prev_purchase_id"] = np.where(hit, m["event_id_r"].fillna(-1), -1
+                                     ).astype(np.int64)
+    v4 = np.floor(m["value_r"].fillna(0).to_numpy() * 10000 + 0.5
+                  ).astype(np.int64)
+    m["prev_purchase_v4"] = np.where(hit, v4, -1)
+    # since_us from the matched right row's ts: recover it by joining
+    # the deduped right on (user_id, prev_purchase_id)
+    rts = right.set_index(["user_id", "event_id"])["ts"]
+    key = list(zip(m["user_id"], m["prev_purchase_id"]))
+    prev_ts = pd.Series(
+        [rts.get(k, pd.NaT) for k in key], index=m.index)
+    left_us = m["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    prev_us = (prev_ts.fillna(m["ts"]).to_numpy()
+               .astype("datetime64[us]").astype(np.int64))
+    m["since_us"] = np.where(hit, left_us - prev_us, -1)
+    want = (m[["event_id", "user_id", "ts", "event_type",
+               "prev_purchase_id", "prev_purchase_v4", "since_us"]]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: some events have a prior purchase, some do not
+    assert (got["prev_purchase_id"] >= 0).any()
+    assert (got["prev_purchase_id"] == -1).any()
+    # every purchase matches itself at distance 0
+    pur = got[got["event_type"] == "purchase"]
+    self_rows = pur["prev_purchase_id"] == pur["event_id"]
+    assert (pur.loc[self_rows, "since_us"] == 0).all()
