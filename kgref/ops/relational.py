@@ -194,11 +194,159 @@ def nation_orders_join_sql() -> str:
             " GROUP BY c.c_nationkey")
 
 
+# Price bands for the range join: [lo, hi) half-open intervals covering
+# the generator's o_totalprice domain (~1k..500k).  Static/broadcast by
+# construction — the canonical small side of a range join.
+BAND_EDGES = [0.0, 50_000.0, 100_000.0, 150_000.0, 200_000.0,
+              300_000.0, 400_000.0, 600_000.0]
+
+
+def orders_price_band(sf_dir: str):
+    """RANGE JOIN (band join): each order matched to the band whose
+    [lo, hi) interval contains its price, then aggregated per band.
+
+    Shape: the interval table is tiny and sorted, so the join is a
+    broadcast binary search — ``np.searchsorted(edges, price)`` per
+    batch (no shuffle, no per-row Python), with per-batch PARTIAL
+    (band, count, cents-sum) rows feeding a bands-sized groupby.  The
+    oracle is a genuine inequality join (``o.price >= b.lo AND
+    o.price < b.hi``) over a VALUES table; both sides compare raw
+    doubles so the band boundary can't flip between engines.  Exact
+    int64 cent sums (np.add.at) keep the total order-independent."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    edges = np.asarray(BAND_EDGES)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        p = batch.column("o_totalprice").to_numpy()
+        band = np.searchsorted(edges, p, side="right") - 1
+        v2 = np.floor(p * 100 + 0.5).astype(np.int64)
+        n = np.zeros(len(edges) - 1, dtype=np.int64)
+        s = np.zeros(len(edges) - 1, dtype=np.int64)
+        np.add.at(n, band, 1)
+        np.add.at(s, band, v2)
+        seen = n > 0
+        ids = np.nonzero(seen)[0].astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(n[seen]), pa.array(s[seen])],
+            names=["band_id", "n", "cents"])
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("band_id")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("cents", alias_name="cents")))
+
+    lo = pa.array(edges[:-1]); hi = pa.array(edges[1:])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("band_id")
+        return pa.Table.from_arrays(
+            [ids, pc.take(lo, ids), pc.take(hi, ids),
+             batch.column("n_orders"),
+             pc.divide(pc.cast(batch.column("cents"), pa.float64()),
+                       100.0)],
+            names=["band_id", "lo", "hi", "n_orders", "total"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_price_band_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {lo!r}, {hi!r})"
+        for i, (lo, hi) in enumerate(zip(BAND_EDGES, BAND_EDGES[1:])))
+    return f"""
+WITH bands(band_id, lo, hi) AS (VALUES {rows})
+SELECT CAST(b.band_id AS BIGINT) AS band_id, b.lo, b.hi,
+       count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id, b.lo, b.hi
+"""
+
+
+BIG_ORDER_PRICE = 400_000.0
+
+
+def _big_order_custkeys(sf_dir: str):
+    """Distinct custkeys holding ≥1 order above BIG_ORDER_PRICE — the
+    filter pushes to the parquet read, per-batch np.unique partials
+    shrink the stream, and the driver unions a result bounded by the
+    customer-dimension size (the justified broadcast: it IS the small
+    side by definition)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_totalprice") >= BIG_ORDER_PRICE)
+    parts = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pa.array(np.unique(b.column("o_custkey").to_numpy()))],
+            names=["k"]),
+        batch_format="pyarrow").take_all()
+    keys = (np.unique(np.concatenate(
+        [np.asarray([r["k"] for r in parts], dtype=np.int64)]))
+        if parts else np.array([], dtype=np.int64))
+    return ray.put(pa.array(keys))
+
+
+def _customers_exists_join(sf_dir: str, anti: bool):
+    """Broadcast SEMI (anti=False) / ANTI (anti=True) join: customers
+    with ≥1 (resp. no) order above BIG_ORDER_PRICE.  One pass over the
+    dimension with an is_in mask — no shuffle."""
+    import ray
+    import ray.data as rd
+
+    ref = _big_order_custkeys(sf_dir)
+
+    class Mask:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch.column("c_custkey"), value_set=self.keys)
+            return batch.filter(pc.invert(hit) if anti else hit)
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+    from .pairs import default_pool_size
+
+    return ds.map_batches(Mask, fn_constructor_args=(ref,),
+                          batch_format="pyarrow",
+                          concurrency=default_pool_size())
+
+
+def customers_semi_big(sf_dir: str):
+    return _customers_exists_join(sf_dir, anti=False)
+
+
+def customers_anti_big(sf_dir: str):
+    return _customers_exists_join(sf_dir, anti=True)
+
+
+def _exists_sql(op: str) -> str:
+    return (f"SELECT c_custkey, c_name, c_acctbal FROM customer c"
+            f" WHERE {op} (SELECT 1 FROM orders o"
+            f" WHERE o.o_custkey = c.c_custkey"
+            f" AND o.o_totalprice >= {BIG_ORDER_PRICE!r})")
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["lineitem_pricing"] = lineitem_pricing
     q["orders_by_segment"] = orders_by_segment
     q["nation_orders_join"] = nation_orders_join
+    q["orders_price_band"] = orders_price_band
+    q["customers_semi_big"] = customers_semi_big
+    q["customers_anti_big"] = customers_anti_big
     if o is not None:
         o["lineitem_pricing"] = lineitem_pricing_sql()
         o["orders_by_segment"] = orders_by_segment_sql()
         o["nation_orders_join"] = nation_orders_join_sql()
+        o["orders_price_band"] = orders_price_band_sql()
+        o["customers_semi_big"] = _exists_sql("EXISTS")
+        o["customers_anti_big"] = _exists_sql("NOT EXISTS")

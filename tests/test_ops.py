@@ -754,3 +754,40 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     pur = got[got["event_type"] == "purchase"]
     self_rows = pur["prev_purchase_id"] == pur["event_id"]
     assert (pur.loc[self_rows, "since_us"] == 0).all()
+
+
+def test_price_band_and_exists_joins(ray_session):
+    """Range join vs pandas cut; semi/anti joins vs a brute-force
+    groupby — plus the boundary contract: a price exactly on an edge
+    lands in the band whose lo it equals (half-open intervals)."""
+    from kgref.ops.relational import (BAND_EDGES, BIG_ORDER_PRICE,
+                                      customers_anti_big,
+                                      customers_semi_big,
+                                      orders_price_band)
+
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    band = pd.cut(orders["o_totalprice"], bins=BAND_EDGES, right=False,
+                  labels=False)
+    cents = np.floor(orders["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    want = (pd.DataFrame({"band_id": band, "cents": cents})
+            .groupby("band_id").agg(n_orders=("cents", "size"),
+                                    cents=("cents", "sum")))
+    got = orders_price_band(SF).to_pandas().set_index("band_id")
+    assert got["n_orders"].to_dict() == want["n_orders"].to_dict()
+    assert (got["total"] * 100).round().astype(np.int64).to_dict() == \
+        want["cents"].to_dict()
+    # half-open boundary: searchsorted(side="right") - 1 puts an exact
+    # edge value into the band it OPENS
+    assert int(np.searchsorted(np.asarray(BAND_EDGES), 50_000.0,
+                               side="right") - 1) == 1
+
+    big = set(orders.loc[orders["o_totalprice"] >= BIG_ORDER_PRICE,
+                         "o_custkey"])
+    cust = pd.read_parquet(SF + "/customer.parquet",
+                           columns=["c_custkey"])
+    semi = set(customers_semi_big(SF).to_pandas()["c_custkey"])
+    anti = set(customers_anti_big(SF).to_pandas()["c_custkey"])
+    assert semi == big
+    assert anti == set(cust["c_custkey"]) - big
+    assert semi and anti  # non-degenerate both ways
