@@ -267,12 +267,109 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters: per-document fraction of tokens
+    taken by the single most frequent token / bigram (the "duplicated
+    top n-gram fraction" family of quality signals; see Rae et al. 2021,
+    Gopher §A1.1 — token-level here because the synthetic docs are
+    single-line).
+
+    One ``map_batches`` pass, no shuffle: dictionary-encode the flat
+    token array, lexsort (doc, code) → per-run counts → per-doc max via
+    ``np.maximum.at``; bigrams reuse the same code array with a
+    composite (c1·K + c2) int64 key masked at document boundaries.
+    Fractions are half-up 4-decimal fixed point computed in INTEGER
+    arithmetic — floor(c·10⁴/n + ½) = (2·c·10⁴ + n) // (2n) — so the
+    oracle compare cannot flip on a float division."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def per_doc_max_run(parents: np.ndarray, keys: np.ndarray,
+                        n_docs: int) -> np.ndarray:
+        """max run length per doc over lexsorted (doc, key) runs."""
+        out = np.zeros(n_docs, dtype=np.int64)
+        if len(parents) == 0:
+            return out
+        order = np.lexsort((keys, parents))
+        ps, ks = parents[order], keys[order]
+        bound = np.ones(len(ps), dtype=bool)
+        bound[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        starts = np.nonzero(bound)[0]
+        lens = np.diff(np.append(starts, len(ps)))
+        np.maximum.at(out, ps[starts], lens)
+        return out
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = _tokens_column(batch)
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        codes = pc.dictionary_encode(toks.flatten()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(batch)), n_tok)
+        top_tok = per_doc_max_run(parents, codes, len(batch))
+        # adjacent-position bigrams, masked where the pair crosses docs
+        if len(codes) > 1:
+            same_doc = parents[1:] == parents[:-1]
+            K = codes.max() + 1
+            bi = codes[:-1][same_doc] * K + codes[1:][same_doc]
+            bi_parents = parents[:-1][same_doc]
+        else:
+            bi = np.array([], dtype=np.int64)
+            bi_parents = np.array([], dtype=np.int64)
+        top_bi = per_doc_max_run(bi_parents, bi, len(batch))
+        frac_tok = (2 * top_tok * 10_000 + n_tok) // (2 * n_tok)
+        n_bi = n_tok - 1
+        frac_bi = np.where(
+            n_bi >= 1,
+            (2 * top_bi * 10_000 + np.maximum(n_bi, 1))
+            // (2 * np.maximum(n_bi, 1)), 0)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(n_tok.astype(np.int32), pa.int32()),
+             pa.array(frac_tok), pa.array(frac_bi)],
+            names=["doc_id", "n_tokens", "top_token_frac4",
+                   "top_bigram_frac4"])
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def repetition_stats_sql() -> str:
+    return """
+WITH c AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n FROM documents),
+t AS (SELECT doc_id, unnest(l) AS w FROM c),
+tt AS (SELECT doc_id, max(cnt) AS topc FROM (
+         SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY doc_id, w)
+       GROUP BY doc_id),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || chr(1) || l[i + 1])) AS w
+      FROM c),
+gg AS (SELECT doc_id, max(cnt) AS topg FROM (
+         SELECT doc_id, w, count(*) AS cnt FROM g GROUP BY doc_id, w)
+       GROUP BY doc_id)
+SELECT c.doc_id, CAST(c.n AS INTEGER) AS n_tokens,
+       (2 * tt.topc * 10000 + c.n) // (2 * c.n) AS top_token_frac4,
+       CASE WHEN c.n >= 2
+            THEN (2 * gg.topg * 10000 + (c.n - 1)) // (2 * (c.n - 1))
+            ELSE 0 END AS top_bigram_frac4
+FROM c JOIN tt USING (doc_id) LEFT JOIN gg USING (doc_id)
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["token_stats"] = token_stats
     q["quality_score"] = quality_score
     q["lang_id"] = lang_id
     q["doc_fingerprint"] = doc_fingerprint
+    q["repetition_stats"] = repetition_stats
     if o is not None:
         o["token_stats"] = token_stats_sql()
         o["quality_score"] = quality_score_sql()
         o["lang_id"] = lang_id_sql()
+        o["repetition_stats"] = repetition_stats_sql()

@@ -791,3 +791,32 @@ def test_price_band_and_exists_joins(ray_session):
     assert semi == big
     assert anti == set(cust["c_custkey"]) - big
     assert semi and anti  # non-degenerate both ways
+
+
+def test_repetition_stats_match_counter_bruteforce(ray_session):
+    """Per-doc top token/bigram mass vs a collections.Counter oracle,
+    including the exact integer fixed-point rounding."""
+    from collections import Counter
+
+    from kgref.ops.textstats import repetition_stats
+
+    got = repetition_stats(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    for d in docs[:120]:
+        toks = d["text"].split(" ")
+        n = len(toks)
+        topc = Counter(toks).most_common(1)[0][1]
+        want_tok = (2 * topc * 10_000 + n) // (2 * n)
+        row = got.loc[d["doc_id"]]
+        assert row["n_tokens"] == n
+        assert row["top_token_frac4"] == want_tok
+        if n >= 2:
+            bg = Counter(zip(toks, toks[1:]))
+            topg = bg.most_common(1)[0][1]
+            want_bi = (2 * topg * 10_000 + (n - 1)) // (2 * (n - 1))
+            assert row["top_bigram_frac4"] == want_bi
+        else:
+            assert row["top_bigram_frac4"] == 0
+    # the generator repeats tokens: fractions must be non-trivial
+    assert (got["top_token_frac4"] > 0).all()
