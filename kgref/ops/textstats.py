@@ -212,6 +212,24 @@ FP_BASE = 1_000_003
 FP_MOD = (1 << 61) - 1
 FP_WINDOW = 8
 
+_FP_TOKEN_MEMO: dict[str, int] = {}
+
+
+def _fp_token_hash(tok: str) -> int:
+    """Polynomial codepoint fold h = Σ ord(c)·B^k mod M61 — chosen over
+    blake2b so the DuckDB oracle can replicate it exactly with a
+    HUGEINT list_reduce (cf. the splitmix64/HUGEINT twin in
+    kgref.ops.sampling).  Memoized per worker; vocabularies are small
+    relative to token counts."""
+    h = _FP_TOKEN_MEMO.get(tok)
+    if h is None:
+        h = 0
+        for ch in tok:
+            h = (h * FP_BASE + ord(ch)) % FP_MOD
+        if len(_FP_TOKEN_MEMO) < 1_000_000:
+            _FP_TOKEN_MEMO[tok] = h
+    return h
+
 
 def _poly_window_min(hs: np.ndarray, pows: np.ndarray) -> tuple[int, int]:
     """Min over sliding-window polynomial hashes, vectorized: the
@@ -233,14 +251,16 @@ def _poly_window_min(hs: np.ndarray, pows: np.ndarray) -> tuple[int, int]:
 
 def doc_fingerprint(sf_dir: str):
     """Winnowing-style fingerprint: rolling polynomial hash over token
-    hashes, min over FP_WINDOW-grams (rows-only check — the hash
-    function is not SQL-replicable).  Token hashes are memoized
-    (kgref.ops.dedup._token_hash64) and window hashes are computed with
-    one vectorized Mersenne mulmod per document — bit-identical to the
-    original Horner loop (same Σ h_j·B^(W-1-j) mod M61)."""
-    import ray.data as rd
+    hashes, min over FP_WINDOW-grams.  Token hashes are a memoized
+    polynomial codepoint fold (_fp_token_hash) and window hashes are
+    computed with one vectorized Mersenne mulmod per document —
+    bit-identical to the Horner loop (same Σ h_j·B^(W-1-j) mod M61).
 
-    from .dedup import _token_hash64
+    Fully SQL-oracled: DuckDB replicates the token fold with a HUGEINT
+    list_reduce and the window sum with 8 lead() terms (the corpus
+    guarantees ≥ FP_WINDOW tokens per doc; the short-doc W=min(8,n)
+    fallback stays Ray-side only)."""
+    import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -253,7 +273,7 @@ def doc_fingerprint(sf_dir: str):
     def fp(batch: pa.Table) -> pa.Table:
         out_fp, out_n = [], []
         for text in batch.column("text").to_pylist():
-            hs = np.array([_token_hash64(t) % FP_MOD
+            hs = np.array([_fp_token_hash(t)
                            for t in text.split(" ")], dtype=np.uint64)
             mn, n = _poly_window_min(hs, pows)
             out_fp.append(f"{mn:016x}")
@@ -265,6 +285,37 @@ def doc_fingerprint(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def doc_fingerprint_sql() -> str:
+    M = FP_MOD
+    pows = []
+    acc = 1
+    for _ in range(FP_WINDOW):
+        pows.append(acc)
+        acc = (acc * FP_BASE) % M
+    pows.reverse()  # pows[j] = B^(W-1-j)
+    terms = " + ".join(
+        f"(lead(th, {j}) OVER w * CAST({p} AS HUGEINT)) % {M}"
+        for j, p in enumerate(pows))
+    return f"""
+WITH c AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM c),
+tok AS (
+  SELECT doc_id, i,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, len(l[i]) + 1),
+                          k -> CAST(ascii(l[i][k]) AS HUGEINT))),
+           (a, b) -> (a * {FP_BASE} + b) % {M}) AS th
+  FROM pos),
+win AS (
+  SELECT doc_id, ({terms}) % {M} AS wh,
+         lead(th, {FP_WINDOW - 1}) OVER w AS guard
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+SELECT doc_id, printf('%016x', CAST(min(wh) AS BIGINT)) AS fingerprint,
+       count(*) AS n_windows
+FROM win WHERE guard IS NOT NULL GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -373,3 +424,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["quality_score"] = quality_score_sql()
         o["lang_id"] = lang_id_sql()
         o["repetition_stats"] = repetition_stats_sql()
+        o["doc_fingerprint"] = doc_fingerprint_sql()
