@@ -17,6 +17,7 @@ from . import (
     packing,
     pii,
     quantiles,
+    quantize,
     relational,
     sampling,
     similarity,
@@ -28,7 +29,7 @@ from . import (
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
-            clusters, quantiles, chunking, topk, centroids)
+            clusters, quantiles, chunking, topk, centroids, quantize)
 
 
 def register_queries(q: dict) -> None:

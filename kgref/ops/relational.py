@@ -269,6 +269,69 @@ GROUP BY b.band_id, b.lo, b.hi
 """
 
 
+def orders_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: (status, priority) totals plus
+    per-status subtotals plus the grand total, one query.
+
+    Shape: per-batch partials at the FINEST level only (the combiner
+    pattern — the shuffle moves one row per (status, priority) per
+    batch), one small native groupby, then the subtotal levels are
+    expanded from the finest table in a single tiny finish pass (the
+    rolled-up table is dimension-sized by construction, never data-
+    sized).  Rolled-up dimensions use the '' sentinel, matching the
+    oracle's coalesce — no NULL conventions in the value hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.floor(
+            df["o_totalprice"] * 100 + 0.5).astype(np.int64)
+        g = (df.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+             ["cents"].agg(n="size", cents="sum").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+    fine = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["part"])
+        sub = (df.groupby("o_orderstatus", as_index=False)
+               [["n", "cents"]].sum())
+        sub["o_orderpriority"] = ""
+        tot = pd.DataFrame({"o_orderstatus": [""], "o_orderpriority": [""],
+                            "n": [df["n"].sum()],
+                            "cents": [df["cents"].sum()]})
+        out = pd.concat([df, sub, tot], ignore_index=True)
+        out["total"] = out["cents"] / 100.0
+        return out.rename(columns={"o_orderstatus": "status",
+                                   "o_orderpriority": "priority",
+                                   "n": "n_orders"})[
+            ["status", "priority", "n_orders", "total"]]
+
+    return fine.map_batches(
+        lambda b: b.append_column("part", pa.array([0] * len(b),
+                                                   pa.int32())),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(expand, batch_format="pandas")
+
+
+def orders_rollup_sql() -> str:
+    return """
+SELECT coalesce(o_orderstatus, '') AS status,
+       coalesce(o_orderpriority, '') AS priority,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 BIG_ORDER_PRICE = 400_000.0
 
 
@@ -343,6 +406,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["orders_price_band"] = orders_price_band
     q["customers_semi_big"] = customers_semi_big
     q["customers_anti_big"] = customers_anti_big
+    q["orders_rollup"] = orders_rollup
     if o is not None:
         o["lineitem_pricing"] = lineitem_pricing_sql()
         o["orders_by_segment"] = orders_by_segment_sql()
@@ -350,3 +414,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["orders_price_band"] = orders_price_band_sql()
         o["customers_semi_big"] = _exists_sql("EXISTS")
         o["customers_anti_big"] = _exists_sql("NOT EXISTS")
+        o["orders_rollup"] = orders_rollup_sql()

@@ -820,3 +820,45 @@ def test_repetition_stats_match_counter_bruteforce(ray_session):
             assert row["top_bigram_frac4"] == 0
     # the generator repeats tokens: fractions must be non-trivial
     assert (got["top_token_frac4"] > 0).all()
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """Subtotals and the grand total must equal sums of the finest
+    level — the algebraic contract of ROLLUP."""
+    from kgref.ops.relational import orders_rollup
+
+    t = orders_rollup(SF).to_pandas()
+    fine = t[(t["status"] != "") & (t["priority"] != "")]
+    subs = t[(t["status"] != "") & (t["priority"] == "")]
+    tot = t[(t["status"] == "") & (t["priority"] == "")]
+    assert len(tot) == 1
+    assert tot["n_orders"].iloc[0] == fine["n_orders"].sum()
+    for _, r in subs.iterrows():
+        m = fine[fine["status"] == r["status"]]
+        assert r["n_orders"] == m["n_orders"].sum()
+        assert abs(r["total"] - m["total"].sum()) < 1e-6
+
+
+def test_embed_quantize_bounds_and_exactness(ray_session):
+    """int8 range respected, scale recovers the absmax, and the audit
+    stats match a direct numpy recomputation."""
+    from kgref.ops.quantize import embed_quantize
+
+    got = embed_quantize(SF).to_pandas().set_index("vec_id").sort_index()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    m = m[order]
+    scale = np.abs(m).max(axis=1)
+    q = np.floor(m / scale[:, None] * 127 + 0.5)
+    assert q.min() >= -127 and q.max() <= 127
+    err = np.abs(m - q * scale[:, None] / 127).max(axis=1)
+    assert (got["scale4"].to_numpy()
+            == np.floor(scale * 10_000 + 0.5).astype(np.int64)).all()
+    assert (got["sum_q"].to_numpy() == q.sum(axis=1).astype(np.int64)).all()
+    assert (got["max_err6"].to_numpy()
+            == np.floor(err * 1_000_000 + 0.5).astype(np.int64)).all()
+    # reconstruction error bounded by half a quantization step
+    assert (err <= scale / 127 * 0.5 + 1e-12).all()
