@@ -37,6 +37,26 @@ def read_transcripts_jsonl(path: str | list[str], *,
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def read_transcripts_csv(path: str | list[str], *,
+                         columns: list[str] | None = None) -> rd.Dataset:
+    """CSV transcripts source — the spreadsheet/export shape.  Arrow's
+    CSV reader pushes the projection into the parse (include_columns),
+    so unneeded columns never materialize; types are pinned rather than
+    inferred (a turn_idx column of all '0's must not come back as
+    string on one shard and int on another)."""
+    from pyarrow import csv as pacsv
+
+    keep = columns or ANNOTATE_COLUMNS
+    return rd.read_csv(
+        path,
+        convert_options=pacsv.ConvertOptions(
+            include_columns=keep,
+            column_types={"conv_id": pa.string(),
+                          "turn_idx": pa.int32(),
+                          "text": pa.string()}),
+    )
+
+
 def documents_as_transcripts(sf_dir: str, *, turns_per_conv: int = 16,
                              override_num_blocks: int | None = None,
                              digit_suffix_mod: int | None = None) -> rd.Dataset:

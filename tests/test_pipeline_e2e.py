@@ -237,3 +237,46 @@ def test_jsonl_source_feeds_the_pipeline(ray_session, fixture_bundle,
     a = collect(read_transcripts(fixture_bundle["transcripts_dir"]))
     b = collect(read_transcripts_jsonl(str(jdir / "t.jsonl")))
     assert a and a == b
+
+
+def test_csv_source_feeds_the_pipeline(ray_session, fixture_bundle,
+                                       tmp_path_factory):
+    """A CSV export of the fixture transcripts must produce the same
+    triples as the parquet source (and pin column types: a turn_idx
+    column must come back int even when every value parses as text)."""
+    import csv as _csv
+
+    import pyarrow as pa
+    import ray
+
+    from kgref.pipelines.annotate_pipeline import build_triples
+    from kgref.sources.transcripts import (
+        read_transcripts,
+        read_transcripts_csv,
+    )
+    from kgref.state.dictionary import DictionaryState
+
+    src = pq.read_table(sorted(glob.glob(
+        fixture_bundle["transcripts_dir"] + "/*.parquet")))
+    cdir = tmp_path_factory.mktemp("csv")
+    with open(cdir / "t.csv", "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["conv_id", "turn_idx", "text", "extra_col"])
+        for row in src.to_pylist():
+            w.writerow([row["conv_id"], row["turn_idx"], row["text"], "x"])
+
+    ds = read_transcripts_csv(str(cdir / "t.csv"))
+    sch = ds.schema()
+    assert set(sch.names) == {"conv_id", "turn_idx", "text"}  # projected
+    assert sch.base_schema.field("turn_idx").type == pa.int32()
+
+    state_ref = ray.put(DictionaryState.from_dir(fixture_bundle["dict_dir"]))
+    cfg = PipelineConfig(batch_size=512, annotate_concurrency=2)
+
+    def collect(d):
+        t = build_triples(d, state_ref, OPTS, cfg)
+        return triple_set(pa.Table.from_pylist(t.take_all()))
+
+    a = collect(read_transcripts(fixture_bundle["transcripts_dir"]))
+    b = collect(ds)
+    assert a and a == b
