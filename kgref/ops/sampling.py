@@ -121,9 +121,76 @@ FROM s3 WHERE xor(z3, z3 // {1 << 31}) % 100 < {rate}
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group deterministic reservoir: exactly K docs per language, chosen
+# as the K smallest splitmix64 hashes (a distributed reservoir sample —
+# the hash IS the reservoir priority, so any worker ranks any row
+# identically and the result is exact without coordination).
+
+RESERVOIR_K = 5
+_RES_OFFSET = 2_000_003  # distinct hash stream vs the other samplers
+
+
+def sample_per_lang(sf_dir: str, k: int = RESERVOIR_K):
+    """Exactly-K-per-group sampling.  Per-batch PARTIAL top-K per lang
+    (run-boundary ordinal over a lexsort — each batch forwards ≤ K rows
+    per language present, so the shuffle is K·#langs·#batches rows, not
+    the corpus), then a languages-sized groupby finishes the global
+    top-K.  Ties cannot occur in the hash (distinct doc_ids) but the
+    (hash, doc_id) order is pinned anyway to match the SQL window."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        h = splitmix64(doc.astype(np.uint64) + np.uint64(_RES_OFFSET))
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h, lang))
+        ls = lang[order]
+        new_l = np.ones(len(ls), dtype=bool)
+        new_l[1:] = ls[1:] != ls[:-1]
+        idx = np.arange(len(ls), dtype=np.int64)
+        ordinal = idx - np.maximum.accumulate(np.where(new_l, idx, 0))
+        keep = order[ordinal < k]
+        return pa.Table.from_arrays(
+            [pa.array(lang[keep]), pa.array(doc[keep]),
+             pa.array(h[keep])],
+            names=["lang", "doc_id", "h"])
+
+    def finish(df):
+        import pandas as pd
+
+        df = df.sort_values(["h", "doc_id"]).head(k)
+        df["rn"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["lang", "doc_id", "rn"]]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(finish, batch_format="pandas"))
+
+
+def sample_per_lang_sql(k: int = RESERVOIR_K) -> str:
+    z1 = f"(CAST(doc_id AS HUGEINT) + {_RES_OFFSET} + {_C1}) % {_M64}"
+    z2 = _sql_mul64(f"xor(z1, z1 // {1 << 30})", _C2)
+    z3 = _sql_mul64(f"xor(z2, z2 // {1 << 27})", _C3)
+    return f"""
+WITH s1 AS (SELECT doc_id, lang, {z1} AS z1 FROM documents),
+s2 AS (SELECT *, {z2} AS z2 FROM s1),
+s3 AS (SELECT doc_id, lang, {z3} AS z3 FROM s2),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY xor(z3, z3 // {1 << 31}), doc_id)
+               AS rn
+      FROM s3)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {k}
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["sample_docs"] = sample_docs
     q["sample_stratified"] = sample_stratified
+    q["sample_per_lang"] = sample_per_lang
     if o is not None:
         o["sample_docs"] = sample_docs_sql()
         o["sample_stratified"] = sample_stratified_sql()
+        o["sample_per_lang"] = sample_per_lang_sql()

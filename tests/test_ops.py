@@ -862,3 +862,28 @@ def test_embed_quantize_bounds_and_exactness(ray_session):
             == np.floor(err * 1_000_000 + 0.5).astype(np.int64)).all()
     # reconstruction error bounded by half a quantization step
     assert (err <= scale / 127 * 0.5 + 1e-12).all()
+
+
+def test_sample_per_lang_exact_k_and_stable(ray_session):
+    """Exactly K rows per language, identical across runs, and equal to
+    the brute-force smallest-hash-per-lang selection."""
+    from kgref.ops.sampling import (RESERVOIR_K, _RES_OFFSET,
+                                    sample_per_lang, splitmix64)
+
+    a = sample_per_lang(SF).to_pandas().sort_values(
+        ["lang", "rn"]).reset_index(drop=True)
+    b = sample_per_lang(SF).to_pandas().sort_values(
+        ["lang", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    docs["h"] = splitmix64(
+        docs["doc_id"].to_numpy().astype(np.uint64)
+        + np.uint64(_RES_OFFSET))
+    want = (docs.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang").head(RESERVOIR_K))
+    for lang, grp in a.groupby("lang"):
+        assert len(grp) == RESERVOIR_K
+        assert set(grp["doc_id"]) == set(
+            want[want["lang"] == lang]["doc_id"])
