@@ -95,7 +95,52 @@ def length_quantiles_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def length_quantiles_by_lang(sf_dir: str):
+    """GROUPED exact quantiles: the same bounded-domain histogram
+    trick, keyed — partials are (lang, value, count) rows, the merge
+    groupby is on (lang, value), and each language's histogram turns
+    into quantiles in one languages-sized finish pass.  Shuffle volume
+    is #batches × #langs × #distinct-values — still KBs at 100 TB."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["lang", "n_chars"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.Table.from_pandas(
+            g.rename(columns={"n_chars": "v"}), preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lang = df["lang"].iloc[0]
+        rows = _histogram_quantiles(df["v"].to_numpy(),
+                                    df["c"].to_numpy())
+        return pd.DataFrame({"lang": lang,
+                             "quantile": [r[0] for r in rows],
+                             "value": [r[1] for r in rows]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "v"]).aggregate(Sum("c", alias_name="c"))
+            .groupby("lang").map_groups(finish, batch_format="pandas"))
+
+
+def length_quantiles_by_lang_sql() -> str:
+    parts = [
+        f"SELECT lang, '{label}' AS quantile, "
+        f"floor(quantile_cont(n_chars, {q}) * 10000 + 0.5) / 10000 "
+        f"AS value FROM documents GROUP BY lang"
+        for label, q in QS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["length_quantiles"] = length_quantiles
+    q["length_quantiles_by_lang"] = length_quantiles_by_lang
     if o is not None:
         o["length_quantiles"] = length_quantiles_sql()
+        o["length_quantiles_by_lang"] = length_quantiles_by_lang_sql()
