@@ -237,6 +237,81 @@ WHERE rnk <= {n}
 """
 
 
+ROLLING_WINDOW_US = 3_600 * 1_000_000  # 1 hour
+
+
+def rolling_window(sf_dir: str, window_us: int = ROLLING_WINDOW_US,
+                   n_parts: int | None = None):
+    """Sliding RANGE-window aggregate: per event, the count and exact
+    fixed-point value sum of the same user's events in the preceding
+    hour (inclusive) — SQL's ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW``, including the peers-at-equal-ts contract.
+
+    Vectorized without a per-user loop: after the (user, ts) sort,
+    timestamps are embedded on a single axis t' = (ts - min) +
+    user_ordinal · OFFSET with OFFSET > span + window, which makes t'
+    globally sorted and keeps every window inside its user's segment —
+    so ONE ``np.searchsorted`` pair gives all window bounds, and the
+    sums are two prefix-sum gathers.  O(p log p) per partition."""
+    import functools
+
+    import ray.data as rd
+
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    ds = rd.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "value"])
+    W = np.int64(window_us)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["part"])
+              .sort_values(["user_id", "ts", "event_id"]))
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "n_1h": pd.Series([], dtype=np.int64),
+                "sum_v4_1h": pd.Series([], dtype=np.int64)})
+        uid = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        code = np.cumsum(new_user) - 1
+        span = ts_us.max() - ts_us.min()
+        offset = span + W + 2
+        tp = (ts_us - ts_us.min()) + code * offset
+        lo = np.searchsorted(tp, tp - W, side="left")
+        hi = np.searchsorted(tp, tp, side="right") - 1
+        v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+        pref = np.concatenate([[0], np.cumsum(v4)])
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(), "user_id": uid,
+            "ts": df["ts"].to_numpy(),
+            "n_1h": hi - lo + 1,
+            "sum_v4_1h": pref[hi + 1] - pref[lo]})
+
+    return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
+                           batch_format="pyarrow")
+            .groupby("part").map_groups(roll, batch_format="pandas"))
+
+
+def rolling_window_sql() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS sum_v4_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 ASOF_RIGHT_TYPE = "purchase"
 
 
@@ -352,9 +427,11 @@ def register(q: dict, o: dict | None = None) -> None:
     q["events_window_funcs"] = window_funcs
     q["events_topn_per_user"] = topn_per_user
     q["events_asof_join"] = asof_join
+    q["events_rolling_1h"] = rolling_window
     if o is not None:
         o["events_windowed"] = windowed_agg_sql()
         o["events_sessions"] = sessionize_sql()
         o["events_window_funcs"] = window_funcs_sql()
         o["events_topn_per_user"] = topn_per_user_sql()
         o["events_asof_join"] = asof_join_sql()
+        o["events_rolling_1h"] = rolling_window_sql()

@@ -887,3 +887,28 @@ def test_sample_per_lang_exact_k_and_stable(ray_session):
         assert len(grp) == RESERVOIR_K
         assert set(grp["doc_id"]) == set(
             want[want["lang"] == lang]["doc_id"])
+
+
+def test_rolling_window_includes_peers_at_equal_ts(ray_session, tmp_path):
+    """RANGE-window contract: rows sharing a timestamp are peers — every
+    one of them sees the full peer group (unlike a ROWS frame)."""
+    from kgref.ops.events import rolling_window
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600 * 10**6, "us")
+    rows = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        # u7: two peers at t0, one inside the window, one outside
+        "ts": pa.array([ts0, ts0, ts0 + h // 2, ts0 + 3 * h, ts0]),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0])})
+    pq.write_table(rows, tmp_path / "events.parquet")
+
+    got = (rolling_window(str(tmp_path), n_parts=2).to_pandas()
+           .set_index("event_id").sort_index())
+    assert got.loc[1, "n_1h"] == 2 and got.loc[2, "n_1h"] == 2  # peers
+    assert got.loc[1, "sum_v4_1h"] == 30000  # 1.0 + 2.0
+    assert got.loc[3, "n_1h"] == 3           # peers + itself
+    assert got.loc[3, "sum_v4_1h"] == 70000
+    assert got.loc[4, "n_1h"] == 1           # window expired
+    assert got.loc[5, "n_1h"] == 1           # other user isolated
