@@ -133,7 +133,95 @@ SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def dedup_apply(sf_dir: str, tau: float = JACCARD_TAU):
+    """The end of the dedup story: the corpus AFTER near-dup removal.
+    Keeper per cluster = the min doc_id (== cluster_id); every other
+    clustered doc is a loser; unclustered docs pass through.
+
+    Shape: a SHUFFLE anti-join (documents ∖ losers co-located by
+    doc_id hash) — the scale-correct form: the loser side is
+    dup-graph-sized but NOT guaranteed driver-small (a 30%-duplicate
+    web crawl makes it corpus-scale), so no broadcast set and no
+    driver materialization anywhere on this path.  It is built as a
+    tagged union + coarse-partition groupby with ONE vectorized isin
+    pass per partition rather than ``Dataset.join(left_anti)``
+    because the iterative label-propagation output carries empty
+    schema-less pandas blocks that Ray 2.49's Acero-backed join
+    rejects ("No match for FieldRef" on the empty block) — the
+    groupby/sort exchange handles them fine.  Native left_anti on
+    clean inputs is exercised by relational.customers_anti_native."""
+    import functools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from .pairs import n_parts_for
+
+    losers = dup_clusters(sf_dir, tau).map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("doc_id"),
+                                        b.column("cluster_id")))
+        .select(["doc_id"]),
+        batch_format="pyarrow")
+
+    def tag(flag: int, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             batch.column("lang") if "lang" in batch.column_names
+             else pa.array([""] * n, pa.string()),
+             batch.column("n_chars") if "n_chars" in batch.column_names
+             else pa.array([0] * n, pa.int64()),
+             pa.array([flag] * n, pa.int8())],
+            names=["doc_id", "lang", "n_chars", "is_loser"])
+        return t
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    n_parts = n_parts_for(f"{sf_dir}/documents.parquet")
+    both = (docs.map_batches(functools.partial(tag, 0),
+                             batch_format="pyarrow")
+            .union(losers.map_batches(functools.partial(tag, 1),
+                                      batch_format="pyarrow")))
+
+    def part(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = pa.array((batch.column("doc_id").to_numpy()
+                      % n_parts).astype("int32"))
+        return batch.append_column("part", p)
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["is_loser"] == 0]
+        drop = df.loc[df["is_loser"] == 1, "doc_id"]
+        out = keep[~keep["doc_id"].isin(drop)]
+        return out[["doc_id", "lang", "n_chars"]]
+
+    return (both.map_batches(part, batch_format="pyarrow")
+            .groupby("part").map_groups(anti, batch_format="pandas"))
+
+
+def dedup_apply_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH RECURSIVE
+pair AS ({ngram_jaccard_sql(tau)}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pair
+          UNION SELECT doc_b, doc_a FROM pair),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r0.node, e.b FROM reach r0 JOIN edges e ON e.a = r0.r
+),
+losers AS (SELECT node AS doc_id FROM reach GROUP BY node
+           HAVING node != min(r))
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["dedup_clusters"] = dup_clusters
+    q["dedup_apply"] = dedup_apply
     if o is not None:
         o["dedup_clusters"] = dup_clusters_sql()
+        o["dedup_apply"] = dedup_apply_sql()

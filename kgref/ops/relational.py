@@ -399,6 +399,61 @@ def _exists_sql(op: str) -> str:
             f" AND o.o_totalprice >= {BIG_ORDER_PRICE!r})")
 
 
+def customers_anti_native(sf_dir: str):
+    """Native LEFT ANTI join (Dataset.join hash shuffle) — the same
+    result set as the broadcast NOT-EXISTS (customers_anti_big) reached
+    through Ray's shuffle anti-join: the right shape when the exclusion
+    side is too big to broadcast.  Both sides here are clean parquet
+    reads; see clusters.dedup_apply for why iterative-output datasets
+    currently need the groupby-based anti-join instead."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_totalprice") >= BIG_ORDER_PRICE)
+    return cust.join(big, join_type="left_anti", num_partitions=16,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+def customer_big_order_counts(sf_dir: str):
+    """Native LEFT OUTER join (Dataset.join, Ray ≥2.46): every customer
+    row survives, unmatched rows carry a NULL order key, and the
+    per-customer count of matched keys is assembled with the combiner
+    pattern (per-batch non-null counts → one Sum groupby) so the second
+    exchange moves one row per customer per batch.  Customers with no
+    qualifying order report n_big = 0 — the semantics an inner join
+    cannot express."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"],
+        filter=pc.field("o_totalprice") >= BIG_ORDER_PRICE)
+    joined = cust.join(big, join_type="left_outer", num_partitions=16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby("c_custkey")["o_orderkey"].count()
+             .astype(np.int64).reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey").aggregate(Sum("n", alias_name="n_big")))
+
+
+def customer_big_order_counts_sql() -> str:
+    return (f"SELECT c.c_custkey, count(o.o_orderkey) AS n_big"
+            f" FROM customer c LEFT JOIN"
+            f" (SELECT * FROM orders"
+            f"  WHERE o_totalprice >= {BIG_ORDER_PRICE!r}) o"
+            f" ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey")
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["lineitem_pricing"] = lineitem_pricing
     q["orders_by_segment"] = orders_by_segment
@@ -407,6 +462,8 @@ def register(q: dict, o: dict | None = None) -> None:
     q["customers_semi_big"] = customers_semi_big
     q["customers_anti_big"] = customers_anti_big
     q["orders_rollup"] = orders_rollup
+    q["customer_big_order_counts"] = customer_big_order_counts
+    q["customers_anti_native"] = customers_anti_native
     if o is not None:
         o["lineitem_pricing"] = lineitem_pricing_sql()
         o["orders_by_segment"] = orders_by_segment_sql()
@@ -415,3 +472,5 @@ def register(q: dict, o: dict | None = None) -> None:
         o["customers_semi_big"] = _exists_sql("EXISTS")
         o["customers_anti_big"] = _exists_sql("NOT EXISTS")
         o["orders_rollup"] = orders_rollup_sql()
+        o["customer_big_order_counts"] = customer_big_order_counts_sql()
+        o["customers_anti_native"] = _exists_sql("NOT EXISTS")

@@ -912,3 +912,41 @@ def test_rolling_window_includes_peers_at_equal_ts(ray_session, tmp_path):
     assert got.loc[3, "sum_v4_1h"] == 70000
     assert got.loc[4, "n_1h"] == 1           # window expired
     assert got.loc[5, "n_1h"] == 1           # other user isolated
+
+
+def test_left_outer_join_keeps_zero_count_customers(ray_session):
+    """Native left_outer Dataset.join: customers with no qualifying
+    order must appear with n_big = 0 (the rows an inner join drops)."""
+    from kgref.ops.relational import (BIG_ORDER_PRICE,
+                                      customer_big_order_counts)
+
+    got = customer_big_order_counts(SF).to_pandas()
+    orders = pd.read_parquet(SF + "/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    want = (orders[orders["o_totalprice"] >= BIG_ORDER_PRICE]
+            .groupby("o_custkey").size())
+    cust = pd.read_parquet(SF + "/customer.parquet",
+                           columns=["c_custkey"])
+    assert len(got) == len(cust)  # every customer survives
+    g = got.set_index("c_custkey")["n_big"]
+    zero = g[g == 0]
+    assert len(zero) > 0  # non-degenerate
+    for k in cust["c_custkey"]:
+        assert g[k] == want.get(k, 0)
+
+
+def test_dedup_apply_drops_exactly_the_cluster_losers(ray_session):
+    """Applied corpus = documents minus (clustered docs that are not
+    their cluster's min) — cross-checked against dedup_clusters."""
+    from kgref.ops.clusters import dedup_apply, dup_clusters
+
+    clusters = dup_clusters(SF).to_pandas()
+    losers = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                              "doc_id"])
+    kept = set(dedup_apply(SF).to_pandas()["doc_id"])
+    all_docs = set(pq.read_table(f"{SF}/documents.parquet",
+                                 columns=["doc_id"])["doc_id"].to_pylist())
+    assert losers  # non-degenerate
+    assert kept == all_docs - losers
+    # every cluster's keeper survived
+    assert set(clusters["cluster_id"]) <= kept
