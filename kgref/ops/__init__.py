@@ -12,6 +12,7 @@ from . import (
     contamination,
     dedup,
     events,
+    lm,
     multimodal,
     normalize,
     packing,
@@ -29,7 +30,7 @@ from . import (
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
-            clusters, quantiles, chunking, topk, centroids, quantize)
+            clusters, quantiles, chunking, topk, centroids, quantize, lm)
 
 
 def register_queries(q: dict) -> None:

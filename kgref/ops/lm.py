@@ -1,0 +1,93 @@
+"""Unigram-LM surprisal scoring — the "score every document against a
+corpus-derived language model" shape: pass 1 builds the model (global
+token counts, combiner pattern), pass 2 broadcasts it and scores each
+document in one vectorized batch pass.  The same two-pass skeleton
+carries a real n-gram LM or a learned scorer; the unigram weight here
+is the integer ``W // count(token)`` (rarer token → larger weight) so
+every number is exact int64 and the DuckDB twin can't drift by a ULP
+(unlike a float ``-log p`` — see tfidf.py for the float-formula
+variant that relies on identical libm behavior).
+
+Scale: the model table is vocabulary-sized (broadcastable; cap to a
+top-M vocab with an "unknown" bucket if not), the corpus streams twice
+and is never joined against itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+W_NUM = 1_000_000_000
+
+
+def lm_surprisal(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        enc = pc.dictionary_encode(toks.flatten())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes, minlength=len(enc.dictionary))
+        nz = np.flatnonzero(counts)
+        return pa.Table.from_arrays(
+            [enc.dictionary.take(pa.array(nz)),
+             pa.array(counts[nz].astype(np.int64))],
+            names=["term", "c"])
+
+    cnt_rows = (ds.map_batches(partial_counts, batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("c", alias_name="c")))
+    cnt_map: dict[str, int] = {}
+    for b in cnt_rows.iter_batches(batch_format="pyarrow"):
+        for t, c in zip(b.column("term").to_pylist(),
+                        b.column("c").to_pylist()):
+            cnt_map[t] = int(c)
+    ref = ray.put(cnt_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        toks = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        enc = pc.dictionary_encode(toks.flatten())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        w_of_code = np.array([W_NUM // cm[t]
+                              for t in enc.dictionary.to_pylist()],
+                             dtype=np.int64)
+        n_tok = pc.list_value_length(toks).to_numpy()
+        parents = np.repeat(np.arange(len(batch)), n_tok)
+        s = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(s, parents, w_of_code[codes])
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(n_tok.astype(np.int32), pa.int32()),
+             pa.array(s)],
+            names=["doc_id", "n_tokens", "surprisal"])
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_surprisal_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w)
+SELECT t.doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       CAST(sum({W_NUM} // c.c) AS BIGINT) AS surprisal
+FROM tok t JOIN cnt c USING (w) GROUP BY t.doc_id
+"""
+
+
+def register(q: dict, o: dict | None = None) -> None:
+    q["lm_surprisal"] = lm_surprisal
+    if o is not None:
+        o["lm_surprisal"] = lm_surprisal_sql()

@@ -950,3 +950,28 @@ def test_dedup_apply_drops_exactly_the_cluster_losers(ray_session):
     assert kept == all_docs - losers
     # every cluster's keeper survived
     assert set(clusters["cluster_id"]) <= kept
+
+
+def test_lm_surprisal_matches_counter_bruteforce(ray_session):
+    """Two-pass LM scoring vs a pure-Python Counter model: exact
+    integer weights, rare tokens weigh more than common ones."""
+    from collections import Counter
+
+    from kgref.ops.lm import W_NUM, lm_surprisal
+
+    got = lm_surprisal(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    model = Counter()
+    for d in docs:
+        model.update(d["text"].split(" "))
+    for d in docs[:100]:
+        toks = d["text"].split(" ")
+        want = sum(W_NUM // model[t] for t in toks)
+        row = got.loc[d["doc_id"]]
+        assert row["surprisal"] == want
+        assert row["n_tokens"] == len(toks)
+    # a doc made rarer by construction would score higher: check the
+    # monotonicity on the model itself
+    counts = sorted(model.values())
+    assert W_NUM // counts[0] >= W_NUM // counts[-1]
