@@ -138,9 +138,70 @@ def length_quantiles_by_lang_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def length_rank(sf_dir: str):
+    """GLOBAL window function without a global sort: every document's
+    corpus-wide rank by n_chars (SQL ``rank() OVER (ORDER BY
+    n_chars)`` — ties take the min rank).
+
+    The naive shape is a full corpus sort (an all-to-all over every
+    row); for a bounded-domain column the histogram is enough:
+    rank(x) = 1 + Σ_{v<x} count(v).  Pass 1 builds the histogram with
+    the value_counts combiner (KB-sized exchange), the driver turns it
+    into a cumulative table (histogram-sized), and pass 2 broadcasts
+    it and ranks every row with one ``np.searchsorted`` per batch —
+    zero data-sized shuffles, exact SQL window semantics."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n_chars").combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["v", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("c", alias_name="c")).take_all())
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cs = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cs = vs[order], cs[order]
+    below = np.concatenate([[0], np.cumsum(cs)[:-1]])  # Σ counts < v
+    ref = ray.put((vs, below))
+
+    class Rank:
+        def __init__(self, ref):
+            self.vs, self.below = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = batch.column("n_chars").to_numpy()
+            idx = np.searchsorted(self.vs, x)  # exact match guaranteed
+            return pa.Table.from_arrays(
+                [batch.column("doc_id"), batch.column("n_chars"),
+                 pa.array(self.below[idx] + 1)],
+                names=["doc_id", "n_chars", "rnk"])
+
+    from .pairs import default_pool_size
+
+    return ds.map_batches(Rank, fn_constructor_args=(ref,),
+                          batch_format="pyarrow",
+                          concurrency=default_pool_size())
+
+
+def length_rank_sql() -> str:
+    return ("SELECT doc_id, n_chars,"
+            " CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS rnk"
+            " FROM documents")
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["length_quantiles"] = length_quantiles
     q["length_quantiles_by_lang"] = length_quantiles_by_lang
+    q["length_rank"] = length_rank
     if o is not None:
         o["length_quantiles"] = length_quantiles_sql()
         o["length_quantiles_by_lang"] = length_quantiles_by_lang_sql()
+        o["length_rank"] = length_rank_sql()

@@ -975,3 +975,15 @@ def test_lm_surprisal_matches_counter_bruteforce(ray_session):
     # monotonicity on the model itself
     counts = sorted(model.values())
     assert W_NUM // counts[0] >= W_NUM // counts[-1]
+
+
+def test_length_rank_matches_pandas_rank(ray_session):
+    """Global min-rank without a global sort vs pandas rank(method='min')."""
+    from kgref.ops.quantiles import length_rank
+
+    got = length_rank(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    want = docs.set_index("doc_id")["n_chars"].rank(method="min")
+    assert (got["rnk"] == want.astype(np.int64)).all()
+    assert got["rnk"].min() == 1
