@@ -22,6 +22,7 @@ from . import (
     relational,
     sampling,
     similarity,
+    sketch,
     textstats,
     tfidf,
     topk,
@@ -30,7 +31,8 @@ from . import (
 
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
-            clusters, quantiles, chunking, topk, centroids, quantize, lm)
+            clusters, quantiles, chunking, topk, centroids, quantize, lm,
+            sketch)
 
 
 def register_queries(q: dict) -> None:

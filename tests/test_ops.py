@@ -987,3 +987,18 @@ def test_length_rank_matches_pandas_rank(ray_session):
     want = docs.set_index("doc_id")["n_chars"].rank(method="min")
     assert (got["rnk"] == want.astype(np.int64)).all()
     assert got["rnk"].min() == 1
+
+
+def test_kmv_estimate_within_error_band(ray_session):
+    """KMV distinct estimate lands within ~3σ of the true distinct
+    count (σ ≈ 1/√(k−2)); duplicate hashes are deduped before the
+    k-min selection."""
+    from kgref.ops.sketch import KMV_K, distinct_estimate
+
+    t = distinct_estimate(SF).to_pandas()
+    assert len(t) == 1
+    true = len(set(pq.read_table(f"{SF}/documents.parquet",
+                                 columns=["text"])["text"].to_pylist()))
+    est = int(t["est_distinct"].iloc[0])
+    rel = 3.0 / np.sqrt(KMV_K - 2)
+    assert abs(est - true) <= rel * true, (est, true)
