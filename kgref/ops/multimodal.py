@@ -387,5 +387,46 @@ def media_features(sf_dir: str, concurrency: int | None = None):
                              concurrency=concurrency or default_pool_size())
 
 
+def media_manifest(sf_dir: str, concurrency: int | None = None):
+    """The DECODE-VERIFIABLE projection of media_features: (doc_id,
+    media_type, media_bytes, n_frames).  These four columns pass
+    through the full synthesize → real-container encode → actor-pool
+    decode path, yet are pure integer arithmetic in doc_id (container
+    sizes are closed-form: BMP 54 + rowbytes·h, P6 13 + 3wh, WAVE
+    44 + 2·samples, AVI 232 + nf·(24 + rowbytes·h)) — so the DuckDB
+    oracle hash-gates the media plumbing end-to-end.  Only the float
+    feature columns (histogram, thumb mean) stay rows-only in
+    media_features."""
+    return media_features(sf_dir, concurrency).map_batches(
+        lambda b: b.select(["doc_id", "media_type", "media_bytes",
+                            "n_frames"]),
+        batch_format="pyarrow")
+
+
+def media_manifest_sql() -> str:
+    rb = "((w * 3 + 3) // 4) * 4"
+    return f"""
+WITH p AS (
+  SELECT doc_id AS d, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h,
+         (doc_id % 7 + 2) * 256 AS blen
+  FROM documents)
+SELECT d AS doc_id,
+  CASE d % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  CAST(CASE
+    WHEN d % 3 = 0 AND d % 2 = 0 THEN 54 + {rb} * h
+    WHEN d % 3 = 0 THEN 13 + w * h * 3
+    WHEN d % 3 = 1 THEN 44 + 2 * blen
+    ELSE 232 + (d % 5 + 2) * (24 + {rb} * h)
+  END AS BIGINT) AS media_bytes,
+  CAST(CASE WHEN d % 3 = 2 THEN d % 5 + 2 ELSE 1 END AS INTEGER)
+    AS n_frames
+FROM p
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["media_features"] = media_features
+    q["media_manifest"] = media_manifest
+    if o is not None:
+        o["media_manifest"] = media_manifest_sql()
