@@ -157,8 +157,6 @@ def sample_per_lang(sf_dir: str, k: int = RESERVOIR_K):
             names=["lang", "doc_id", "h"])
 
     def finish(df):
-        import pandas as pd
-
         df = df.sort_values(["h", "doc_id"]).head(k)
         df["rn"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["lang", "doc_id", "rn"]]
