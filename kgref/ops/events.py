@@ -262,41 +262,45 @@ def rolling_window(sf_dir: str, window_us: int = ROLLING_WINDOW_US,
     np_parts = n_parts or n_parts_for(path)
     ds = rd.read_parquet(
         path, columns=["event_id", "user_id", "ts", "value"])
-    W = np.int64(window_us)
-
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        df = (df.drop(columns=["part"])
-              .sort_values(["user_id", "ts", "event_id"]))
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "ts": pd.Series([], dtype="datetime64[us]"),
-                "n_1h": pd.Series([], dtype=np.int64),
-                "sum_v4_1h": pd.Series([], dtype=np.int64)})
-        uid = df["user_id"].to_numpy()
-        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_user = np.empty(n, dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        code = np.cumsum(new_user) - 1
-        span = ts_us.max() - ts_us.min()
-        offset = span + W + 2
-        tp = (ts_us - ts_us.min()) + code * offset
-        lo = np.searchsorted(tp, tp - W, side="left")
-        hi = np.searchsorted(tp, tp, side="right") - 1
-        v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
-        pref = np.concatenate([[0], np.cumsum(v4)])
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(), "user_id": uid,
-            "ts": df["ts"].to_numpy(),
-            "n_1h": hi - lo + 1,
-            "sum_v4_1h": pref[hi + 1] - pref[lo]})
-
+    roll = functools.partial(_roll_pandas, window_us=window_us)
     return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
                            batch_format="pyarrow")
             .groupby("part").map_groups(roll, batch_format="pandas"))
+
+
+def _roll_pandas(df: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """One partition's RANGE-window pass (pure pandas/numpy; also the
+    unit under the hypothesis property test)."""
+    if "part" in df.columns:
+        df = df.drop(columns=["part"])
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    n = len(df)
+    W = np.int64(window_us)
+    if n == 0:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "n_1h": pd.Series([], dtype=np.int64),
+            "sum_v4_1h": pd.Series([], dtype=np.int64)})
+    uid = df["user_id"].to_numpy()
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    code = np.cumsum(new_user) - 1
+    span = ts_us.max() - ts_us.min()
+    offset = span + W + 2
+    tp = (ts_us - ts_us.min()) + code * offset
+    lo = np.searchsorted(tp, tp - W, side="left")
+    hi = np.searchsorted(tp, tp, side="right") - 1
+    v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    pref = np.concatenate([[0], np.cumsum(v4)])
+    return pd.DataFrame({
+        "event_id": df["event_id"].to_numpy(), "user_id": uid,
+        "ts": df["ts"].to_numpy(),
+        "n_1h": hi - lo + 1,
+        "sum_v4_1h": pref[hi + 1] - pref[lo]})
 
 
 def rolling_window_sql() -> str:
@@ -346,61 +350,64 @@ def asof_join(sf_dir: str, right_type: str = ASOF_RIGHT_TYPE,
     np_parts = n_parts or n_parts_for(path)
     ds = rd.read_parquet(
         path, columns=["event_id", "user_id", "ts", "event_type", "value"])
-
-    def asof(df: pd.DataFrame) -> pd.DataFrame:
-        df = (df.drop(columns=["part"])
-              .sort_values(["user_id", "ts", "event_id"]))
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "ts": pd.Series([], dtype="datetime64[us]"),
-                "event_type": pd.Series([], dtype=object),
-                "prev_purchase_id": pd.Series([], dtype=np.int64),
-                "prev_purchase_v4": pd.Series([], dtype=np.int64),
-                "since_us": pd.Series([], dtype=np.int64)})
-        idx = np.arange(n, dtype=np.int64)
-        uid = df["user_id"].to_numpy()
-        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_user = np.empty(n, dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        new_grp = new_user.copy()
-        new_grp[1:] |= ts_us[1:] != ts_us[:-1]
-        g = np.cumsum(new_grp) - 1          # 0-based (user, ts) group id
-        n_groups = int(g[-1]) + 1
-        # winner per group: max-event_id right-typed row (rows are
-        # event_id-sorted within a group, so max row index = max id)
-        is_r = (df["event_type"] == right_type).to_numpy()
-        winner = np.full(n_groups, -1, dtype=np.int64)
-        np.maximum.at(winner, g[is_r], idx[is_r])
-        # inclusive group-level carry, reset at user boundaries: the
-        # global running max of winner row indices belongs to the
-        # current user iff it is >= the user's first row index
-        # (rows of one user are contiguous after the sort)
-        first_row_of_user = np.maximum.accumulate(
-            np.where(new_user, idx, 0))
-        grp_first_rows = idx[new_grp]
-        fu_g = first_row_of_user[grp_first_rows]
-        gacc = np.maximum.accumulate(winner)
-        gmatch = np.where(gacc >= fu_g, gacc, -1)
-        rowmatch = gmatch[g]
-        m = rowmatch >= 0
-        safe = np.where(m, rowmatch, 0)
-        eid = df["event_id"].to_numpy()
-        v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
-        out = pd.DataFrame({
-            "event_id": eid, "user_id": uid, "ts": df["ts"].to_numpy(),
-            "event_type": df["event_type"].to_numpy(),
-            "prev_purchase_id": np.where(m, eid[safe], -1),
-            "prev_purchase_v4": np.where(m, v4[safe], -1),
-            "since_us": np.where(m, ts_us - ts_us[safe], -1)})
-        return out
-
+    asof = functools.partial(_asof_pandas, right_type=right_type)
     return (ds.map_batches(functools.partial(_with_part, n_parts=np_parts),
                            batch_format="pyarrow")
             .groupby("part").map_groups(asof, batch_format="pandas"))
+
+
+def _asof_pandas(df: pd.DataFrame, right_type: str) -> pd.DataFrame:
+    """One partition's as-of pass (pure pandas/numpy; also the unit
+    under the hypothesis property test)."""
+    if "part" in df.columns:
+        df = df.drop(columns=["part"])
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "event_type": pd.Series([], dtype=object),
+            "prev_purchase_id": pd.Series([], dtype=np.int64),
+            "prev_purchase_v4": pd.Series([], dtype=np.int64),
+            "since_us": pd.Series([], dtype=np.int64)})
+    idx = np.arange(n, dtype=np.int64)
+    uid = df["user_id"].to_numpy()
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    new_grp = new_user.copy()
+    new_grp[1:] |= ts_us[1:] != ts_us[:-1]
+    g = np.cumsum(new_grp) - 1          # 0-based (user, ts) group id
+    n_groups = int(g[-1]) + 1
+    # winner per group: max-event_id right-typed row (rows are
+    # event_id-sorted within a group, so max row index = max id)
+    is_r = (df["event_type"] == right_type).to_numpy()
+    winner = np.full(n_groups, -1, dtype=np.int64)
+    np.maximum.at(winner, g[is_r], idx[is_r])
+    # inclusive group-level carry, reset at user boundaries: the
+    # global running max of winner row indices belongs to the
+    # current user iff it is >= the user's first row index
+    # (rows of one user are contiguous after the sort)
+    first_row_of_user = np.maximum.accumulate(
+        np.where(new_user, idx, 0))
+    grp_first_rows = idx[new_grp]
+    fu_g = first_row_of_user[grp_first_rows]
+    gacc = np.maximum.accumulate(winner)
+    gmatch = np.where(gacc >= fu_g, gacc, -1)
+    rowmatch = gmatch[g]
+    m = rowmatch >= 0
+    safe = np.where(m, rowmatch, 0)
+    eid = df["event_id"].to_numpy()
+    v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    return pd.DataFrame({
+        "event_id": eid, "user_id": uid, "ts": df["ts"].to_numpy(),
+        "event_type": df["event_type"].to_numpy(),
+        "prev_purchase_id": np.where(m, eid[safe], -1),
+        "prev_purchase_v4": np.where(m, v4[safe], -1),
+        "since_us": np.where(m, ts_us - ts_us[safe], -1)})
 
 
 def asof_join_sql(right_type: str = ASOF_RIGHT_TYPE) -> str:

@@ -1002,3 +1002,59 @@ def test_kmv_estimate_within_error_band(ray_session):
     est = int(t["est_distinct"].iloc[0])
     rel = 3.0 / np.sqrt(KMV_K - 2)
     assert abs(est - true) <= rel * true, (est, true)
+
+
+# ---------------------------------------------------------------------------
+# property tests for the event-kernel transforms (pure pandas, no Ray)
+
+
+def _random_events(seed: int, n: int):
+    rng = np.random.RandomState(seed)
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    # coarse time grid with deliberate COLLISIONS (peers at equal ts)
+    offs = rng.randint(0, 50, size=n) * np.timedelta64(600 * 10**6, "us")
+    return pd.DataFrame({
+        "event_id": np.arange(1, n + 1, dtype=np.int64),
+        "user_id": rng.randint(0, 4, size=n).astype(np.int64),
+        "ts": ts0 + offs,
+        "event_type": rng.choice(["purchase", "view"], size=n),
+        "value": rng.randint(0, 1000, size=n) / 10.0,
+    })
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_rolling_kernel_matches_bruteforce(seed):
+    from kgref.ops.events import _roll_pandas
+
+    df = _random_events(seed, 60)
+    W = 3600 * 10**6
+    got = (_roll_pandas(df, W).set_index("event_id").sort_index())
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    v4 = np.floor(df["value"].to_numpy() * 10000 + 0.5).astype(np.int64)
+    for i, eid in enumerate(df["event_id"]):
+        inw = ((df["user_id"] == df["user_id"].iloc[i])
+               & (ts_us <= ts_us[i]) & (ts_us >= ts_us[i] - W))
+        assert got.loc[eid, "n_1h"] == inw.sum()
+        assert got.loc[eid, "sum_v4_1h"] == v4[inw].sum()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_asof_kernel_matches_bruteforce(seed):
+    from kgref.ops.events import _asof_pandas
+
+    df = _random_events(seed, 60)
+    got = (_asof_pandas(df, "purchase").set_index("event_id").sort_index())
+    ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    for i, eid in enumerate(df["event_id"]):
+        cand = df[(df["user_id"] == df["user_id"].iloc[i])
+                  & (df["event_type"] == "purchase")
+                  & (ts_us <= ts_us[i])]
+        if len(cand):
+            # greatest ts; tie-break max event_id
+            c = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            assert got.loc[eid, "prev_purchase_id"] == c["event_id"]
+            want_v4 = int(np.floor(c["value"] * 10000 + 0.5))
+            assert got.loc[eid, "prev_purchase_v4"] == want_v4
+        else:
+            assert got.loc[eid, "prev_purchase_id"] == -1
+            assert got.loc[eid, "since_us"] == -1
