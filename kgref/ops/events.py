@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SESSION_GAP_S = 1800  # 30 min
 
@@ -315,6 +316,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation: one wide row per user with an
+    event count per type — ``count(*) FILTER (WHERE type = t)``.
+
+    The type domain is declared (PIVOT needs a static column set), so
+    the combiner shape is ideal: each batch reduces to ≤ one wide row
+    per user present (bincount over a (user, type) code grid), then a
+    users-sized Sum groupby — the exchange never carries event rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{t}" for t in PIVOT_TYPES]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        tcode = pc.index_in(
+            batch.column("event_type"),
+            value_set=pa.array(PIVOT_TYPES)).to_numpy(zero_copy_only=False)
+        users, ucode = np.unique(uid, return_inverse=True)
+        grid = np.zeros((len(users), len(PIVOT_TYPES)), dtype=np.int64)
+        np.add.at(grid, (ucode, tcode.astype(np.int64)), 1)
+        return pa.Table.from_arrays(
+            [pa.array(users)] + [pa.array(grid[:, i])
+                                 for i in range(len(PIVOT_TYPES))],
+            names=["user_id"] + cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+def user_type_pivot_sql() -> str:
+    counts = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}" for t in PIVOT_TYPES)
+    return f"SELECT user_id, {counts} FROM events GROUP BY user_id"
+
+
 ASOF_RIGHT_TYPE = "purchase"
 
 
@@ -434,6 +478,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["events_topn_per_user"] = topn_per_user
     q["events_asof_join"] = asof_join
     q["events_rolling_1h"] = rolling_window
+    q["events_user_pivot"] = user_type_pivot
     if o is not None:
         o["events_windowed"] = windowed_agg_sql()
         o["events_sessions"] = sessionize_sql()
@@ -441,3 +486,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["events_topn_per_user"] = topn_per_user_sql()
         o["events_asof_join"] = asof_join_sql()
         o["events_rolling_1h"] = rolling_window_sql()
+        o["events_user_pivot"] = user_type_pivot_sql()

@@ -1058,3 +1058,17 @@ def test_asof_kernel_matches_bruteforce(seed):
         else:
             assert got.loc[eid, "prev_purchase_id"] == -1
             assert got.loc[eid, "since_us"] == -1
+
+
+def test_user_pivot_counts_match_crosstab(ray_session):
+    from kgref.ops.events import PIVOT_TYPES, user_type_pivot
+
+    got = (user_type_pivot(SF).to_pandas()
+           .set_index("user_id").sort_index())
+    ev = pd.read_parquet(SF + "/events.parquet",
+                         columns=["user_id", "event_type"])
+    want = pd.crosstab(ev["user_id"], ev["event_type"])
+    for t in PIVOT_TYPES:
+        w = want[t] if t in want.columns else 0
+        assert (got[f"n_{t}"] == w).all()
+    assert got.to_numpy().sum() == len(ev)
