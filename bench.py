@@ -235,7 +235,7 @@ def run_suite_median(sf_dir: str, num_cpus: int,
     }
 
 
-SCALING_TRIALS = 3
+SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 
 
 def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
