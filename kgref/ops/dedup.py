@@ -390,11 +390,104 @@ def simhash_pairs(sf_dir: str, radius: int = SIMHASH_RADIUS,
         min_hamming, np_parts)
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein with a row-vectorized DP: the sequential
+    left-neighbor (insertion) cascade cur[j] = min(t[j], cur[j-1]+1)
+    unrolls to min_k≤j (t[k] + (j−k)), which is one
+    ``np.minimum.accumulate`` over t[k]−k — so the inner loop is O(n)
+    numpy rows, not O(n·m) Python cells."""
+    if a == b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    m = len(cb)
+    if m == 0 or len(ca) == 0:
+        return max(len(ca), m)
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(1, len(ca) + 1):
+        sub = prev[:-1] + (cb != ca[i - 1])
+        full = np.concatenate(
+            [np.array([i], dtype=np.int64),
+             np.minimum(prev[1:] + 1, sub)])
+        prev = np.minimum.accumulate(full - idx) + idx
+    return int(prev[-1])
+
+
+def edit_distance_pairs(sf_dir: str, tau: float = JACCARD_TAU):
+    """Edit-distance VERIFICATION of the near-dup candidate pairs —
+    the second-stage filter of a fuzzy-dedup pipeline (candidates from
+    a cheap sketch, confirmed by an expensive exact metric).
+
+    Shape: the pair table is candidate-sized (≪ corpus by the sketch's
+    construction), so the involved documents' texts load via ONE
+    pushed-down isin read and broadcast to the scoring actors; each
+    pair costs one row-vectorized DP.  If candidates were ever
+    corpus-scale, replace the broadcast with two shuffle joins of the
+    pair table against documents (the clusters.dedup_apply pattern)."""
+    import ray
+    import ray.data as rd
+
+    # candidate-sized by construction — materializing it is the
+    # documented exception (same class as ops.clusters' edge set)
+    pairs = ngram_jaccard_pairs(sf_dir, tau).materialize()
+    pair_rows = pairs.take_all()
+    involved = sorted({int(r["doc_a"]) for r in pair_rows}
+                      | {int(r["doc_b"]) for r in pair_rows})
+    texts = {}
+    if involved:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", involved)])
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+    ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            da = batch.column("doc_a").to_pylist()
+            db = batch.column("doc_b").to_pylist()
+            dist = [_levenshtein(self.texts[a], self.texts[b])
+                    for a, b in zip(da, db)]
+            return pa.Table.from_arrays(
+                [batch.column("doc_a"), batch.column("doc_b"),
+                 pa.array(dist, pa.int64()),
+                 pa.array([len(self.texts[a]) for a in da], pa.int64()),
+                 pa.array([len(self.texts[b]) for b in db], pa.int64())],
+                names=["doc_a", "doc_b", "edit_dist", "len_a", "len_b"])
+
+    from .pairs import default_pool_size
+
+    return pairs.map_batches(Verify, fn_constructor_args=(ref,),
+                             batch_format="pyarrow",
+                             concurrency=default_pool_size())
+
+
+def edit_distance_pairs_sql(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH pair AS ({ngram_jaccard_sql(tau)})
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       CAST(length(da.text) AS BIGINT) AS len_a,
+       CAST(length(db.text) AS BIGINT) AS len_b
+FROM pair p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["dedup_exact"] = exact_dedup
     q["dedup_ngram_jaccard"] = ngram_jaccard_pairs
     q["dedup_minhash_lsh"] = minhash_lsh_pairs
     q["dedup_simhash"] = simhash_pairs
+    q["dedup_edit_distance"] = edit_distance_pairs
     if o is not None:
         o["dedup_exact"] = exact_dedup_sql()
         o["dedup_ngram_jaccard"] = ngram_jaccard_sql()
+        o["dedup_edit_distance"] = edit_distance_pairs_sql()

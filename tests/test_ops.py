@@ -1072,3 +1072,31 @@ def test_user_pivot_counts_match_crosstab(ray_session):
         w = want[t] if t in want.columns else 0
         assert (got[f"n_{t}"] == w).all()
     assert got.to_numpy().sum() == len(ev)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_levenshtein_kernel_matches_bruteforce(seed):
+    from kgref.ops.dedup import _levenshtein
+
+    rng = np.random.RandomState(seed)
+
+    def brute(a, b):
+        m, n = len(a), len(b)
+        d = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m + 1):
+            d[i][0] = i
+        for j in range(n + 1):
+            d[0][j] = j
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[m][n]
+
+    alpha = "abcde"
+    for _ in range(60):
+        a = "".join(rng.choice(list(alpha))
+                    for _ in range(rng.randint(0, 15)))
+        b = "".join(rng.choice(list(alpha))
+                    for _ in range(rng.randint(0, 15)))
+        assert _levenshtein(a, b) == brute(a, b), (a, b)
