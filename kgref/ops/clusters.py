@@ -10,12 +10,22 @@ NOT raw actors:
 
   labels(x) <- min over {labels(x)} ∪ {labels(n) : n adjacent to x}
 
-Per iteration: one cogroup (labels ∪ edge endpoints, grouped on node —
-the join of labels onto edges, expressed as groupby.map_groups) + one
-Min aggregate.  Converges in ≤ diameter(G) iterations; convergence is
-detected with a scalar monotone invariant (sum of labels strictly
-decreases until fixpoint) — no change-join, one cheap aggregate per
-iteration.
+Per iteration: TWO coarse int-key exchanges, each with ~n_parts big
+groups and ONE vectorized pandas pass per group (the agg_pairs_by_part
+shape) — never a group per graph node:
+
+  1. co-locate labels with the static edge partitions on
+     ``node % n_parts`` and attach each node's label to its out-edges
+     with one pandas merge (emitting (nbr, label) + the self row);
+  2. co-locate the emitted rows on ``target % n_parts`` and take the
+     per-node min with one pandas groupby.
+
+The edge side of exchange 1 is partitioned and materialized ONCE
+before the loop (the graph is static); only the label table — one row
+per node — moves per round.  Converges in ≤ diameter(G) iterations;
+convergence is detected with a scalar monotone invariant (sum of
+labels strictly decreases until fixpoint) — no change-join, one cheap
+aggregate per iteration.
 
 Scale shape: the working set is the DUP-PAIR GRAPH (nodes that appear
 in ≥1 pair), typically orders of magnitude smaller than the corpus; it
@@ -51,15 +61,35 @@ def _undirect(batch: pa.Table) -> pa.Table:
 def label_propagation(edges, max_rounds: int = MAX_ROUNDS):
     """(node, nbr) undirected edge Dataset → (doc_id, cluster_id) with
     cluster_id = min node id in the connected component."""
+    import numpy as np
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    from .pairs import n_parts_for_rows
+
     edges = edges.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(pa.Table.from_arrays(
             [pa.array([], pa.int64()), pa.array([], pa.int64())],
             names=["doc_id", "cluster_id"]))
+
+    n_parts = n_parts_for_rows(n_edges)
+
+    # Static edge side of the per-round exchange, partitioned by source
+    # node and materialized ONCE (label rows are tagged nbr = -1 so one
+    # grouped exchange carries both sides).
+    def tag_edges(b: pa.Table) -> pa.Table:
+        node = b.column("node").cast(pa.int64()).combine_chunks()
+        part = pa.array((node.to_numpy() % n_parts).astype(np.int32))
+        return pa.Table.from_arrays(
+            [node, b.column("nbr").cast(pa.int64()),
+             pa.array(np.full(len(b), -1, np.int64)), part],
+            names=["node", "nbr", "label", "part"])
+
+    edges_tagged = edges.map_batches(
+        tag_edges, batch_format="pyarrow").materialize()
 
     # labels(x) = x, folded with one propagation step for free:
     # min(x, min nbr)
@@ -71,33 +101,40 @@ def label_propagation(edges, max_rounds: int = MAX_ROUNDS):
               .materialize())
     prev_sum = labels.sum("label")
 
-    def propagate(df: pd.DataFrame) -> pd.DataFrame:
-        # rows of one node: exactly one label row (nbr == -1) + its edges
-        lbl = int(df.loc[df["nbr"] < 0, "label"].iloc[0])
-        out_nodes = df.loc[df["nbr"] >= 0, "nbr"].tolist()
-        out_nodes.append(int(df["node"].iloc[0]))
-        return pd.DataFrame({"n": out_nodes, "label": lbl})
+    def tag_labels(b: pa.Table) -> pa.Table:
+        node = b.column("node").cast(pa.int64()).combine_chunks()
+        part = pa.array((node.to_numpy() % n_parts).astype(np.int32))
+        return pa.Table.from_arrays(
+            [node, pa.array(np.full(len(b), -1, np.int64)),
+             b.column("label").cast(pa.int64()), part],
+            names=["node", "nbr", "label", "part"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        # One coarse partition (all rows with node % n_parts == p): one
+        # merge attaches each node's label to its out-edges; every edge
+        # endpoint has a label row by construction, so inner == left.
+        lbl_mask = df["nbr"].to_numpy() < 0
+        lbl = df.loc[lbl_mask, ["node", "label"]]
+        edg = df.loc[~lbl_mask, ["node", "nbr"]]
+        m = edg.merge(lbl, on="node", how="inner")
+        n_out = np.concatenate([m["nbr"].to_numpy(np.int64),
+                                lbl["node"].to_numpy(np.int64)])
+        l_out = np.concatenate([m["label"].to_numpy(np.int64),
+                                lbl["label"].to_numpy(np.int64)])
+        return pd.DataFrame({"n": n_out, "label": l_out,
+                             "part2": (n_out % n_parts).astype(np.int32)})
+
+    def take_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n", as_index=False)["label"].min()
+        return pd.DataFrame({"node": g["n"].to_numpy(np.int64),
+                             "label": g["label"].to_numpy(np.int64)})
 
     for _ in range(max_rounds):
-        tagged_labels = labels.map_batches(
-            lambda b: pa.Table.from_arrays(
-                [b.column("node"),
-                 pa.array([-1] * len(b), pa.int64()),
-                 b.column("label")],
-                names=["node", "nbr", "label"]), batch_format="pyarrow")
-        tagged_edges = edges.map_batches(
-            lambda b: pa.Table.from_arrays(
-                [b.column("node"), b.column("nbr"),
-                 pa.array([-1] * len(b), pa.int64())],
-                names=["node", "nbr", "label"]), batch_format="pyarrow")
-        from ray.data.aggregate import Min as _Min
-
-        labels = (tagged_labels.union(tagged_edges)
-                  .groupby("node").map_groups(propagate,
-                                              batch_format="pandas")
-                  .groupby("n").aggregate(_Min("label", alias_name="label"))
-                  .map_batches(lambda b: b.rename_columns(["node", "label"]),
-                               batch_format="pyarrow")
+        labels = (labels.map_batches(tag_labels, batch_format="pyarrow")
+                  .union(edges_tagged)
+                  .groupby("part").map_groups(attach, batch_format="pandas")
+                  .groupby("part2").map_groups(take_min,
+                                               batch_format="pandas")
                   .materialize())
         s = labels.sum("label")
         if s == prev_sum:  # labels only decrease; equal sum = fixpoint

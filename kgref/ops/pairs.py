@@ -57,6 +57,17 @@ def n_parts_for(path: str, *, target_part_bytes: int = TARGET_PART_BYTES,
     return 1 << (int(raw) - 1).bit_length()  # next power of two ≥ raw
 
 
+def n_parts_for_rows(n_rows: int, *, bytes_per_row: int = 16,
+                     target_part_bytes: int = TARGET_PART_BYTES,
+                     min_parts: int = N_PARTS) -> int:
+    """``n_parts_for`` for in-memory Datasets with no parquet footer to
+    inspect: scale the coarse-partition count with a row-count × width
+    estimate instead (dup-graph edges are two int64s → 16 B/row).  Same
+    contract: power of two, floored at ``min_parts``."""
+    raw = max(min_parts, -(-(n_rows * bytes_per_row) // target_part_bytes))
+    return 1 << (int(raw) - 1).bit_length()
+
+
 def default_pool_size(floor: int = 2, frac: float = 0.5) -> int:
     """Actor-pool size for library-call stateful stages: half the
     cluster's CPUs (leaves headroom for the surrounding pipeline's
