@@ -337,9 +337,15 @@ def user_type_pivot(sf_dir: str):
         tcode = pc.index_in(
             batch.column("event_type"),
             value_set=pa.array(PIVOT_TYPES)).to_numpy(zero_copy_only=False)
+        # index_in yields null (NaN after to_numpy) for types outside
+        # the declared PIVOT domain; the SQL FILTER counts them as 0
+        # but its GROUP BY still emits the user row, so keep every user
+        # and only mask the increments (ADVICE r3: NaN→int64 would
+        # corrupt the grid index).
+        known = ~np.isnan(tcode.astype(np.float64))
         users, ucode = np.unique(uid, return_inverse=True)
         grid = np.zeros((len(users), len(PIVOT_TYPES)), dtype=np.int64)
-        np.add.at(grid, (ucode, tcode.astype(np.int64)), 1)
+        np.add.at(grid, (ucode[known], tcode[known].astype(np.int64)), 1)
         return pa.Table.from_arrays(
             [pa.array(users)] + [pa.array(grid[:, i])
                                  for i in range(len(PIVOT_TYPES))],

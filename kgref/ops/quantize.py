@@ -33,7 +33,11 @@ def embed_quantize(sf_dir: str):
         assert n == 0 or (dims == d).all()
         m = emb.flatten().to_numpy().astype(np.float64).reshape(n, d)
         scale = np.abs(m).max(axis=1)
-        q = np.floor(m / scale[:, None] * 127 + 0.5)
+        # all-zero vector → scale 0: divide by 1 instead so q = 0 and
+        # the int casts stay defined (mirrored in the SQL twin's CASE;
+        # ADVICE r3 — x/0 NaN/inf would cast to garbage)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(m / safe[:, None] * 127 + 0.5)
         err = np.abs(m - q * scale[:, None] / 127).max(axis=1)
         return pa.Table.from_arrays(
             [batch.column("vec_id"),
@@ -57,7 +61,9 @@ s AS (
          list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
 q AS (
   SELECT vec_id, v, scale,
-         list_transform(v, x -> floor(x / scale * 127 + 0.5)) AS qv
+         list_transform(v, x -> floor(
+             x / (CASE WHEN scale = 0 THEN 1 ELSE scale END)
+             * 127 + 0.5)) AS qv
   FROM s)
 SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
        CAST(floor(scale * 10000 + 0.5) AS BIGINT) AS scale4,

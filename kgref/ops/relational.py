@@ -221,6 +221,12 @@ def orders_price_band(sf_dir: str):
     def partials(batch: pa.Table) -> pa.Table:
         p = batch.column("o_totalprice").to_numpy()
         band = np.searchsorted(edges, p, side="right") - 1
+        # prices outside [edges[0], edges[-1]) give band -1 (wraps) or
+        # len-1 (out of bounds); the oracle's inner join just drops
+        # such rows, so mask them out of the accumulation (ADVICE r3)
+        in_range = (band >= 0) & (band < len(edges) - 1)
+        if not in_range.all():
+            p, band = p[in_range], band[in_range]
         v2 = np.floor(p * 100 + 0.5).astype(np.int64)
         n = np.zeros(len(edges) - 1, dtype=np.int64)
         s = np.zeros(len(edges) - 1, dtype=np.int64)

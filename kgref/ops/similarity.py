@@ -52,16 +52,19 @@ LSH_PROBE_RADIUS = 2  # probe all buckets within this hamming distance
 
 def _normalized_matrix(sf_dir: str, where_max_id: int | None = None):
     """Driver-side load of the small/broadcast side (documented
-    assumption: query/index matrix ≪ worker heap)."""
+    assumption: query/index matrix ≪ worker heap).  The vec_id bound is
+    PUSHED INTO THE READ (predicate → row-group/row filtering in the
+    parquet reader) — at 100 TB the unfiltered form would materialize
+    the whole embedding corpus on the driver to extract a KB of query
+    vectors."""
     import pyarrow.parquet as pq
 
+    filters = (None if where_max_id is None
+               else [("vec_id", "<", where_max_id)])
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+                      columns=["vec_id", "embedding"], filters=filters)
     ids = t.column("vec_id").to_numpy()
     mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    if where_max_id is not None:
-        keep = ids < where_max_id
-        ids, mat = ids[keep], mat[keep]
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     return ids, mat
 

@@ -56,9 +56,13 @@ def distinct_estimate(sf_dir: str, k: int = KMV_K):
              pa.array([int(est)], pa.int64())],
             names=["k", "kth_min", "est_distinct"])
 
+    # batch_size=None → the finish fn sees the whole repartition(1)
+    # block as ONE batch; the default (1024) would split >16 read
+    # batches' worth of partials into several finish calls, each
+    # emitting a bogus non-global row (ADVICE r3).
     return (ds.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
-            .map_batches(finish, batch_format="pyarrow"))
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
 
 
 def distinct_estimate_sql(k: int = KMV_K) -> str:

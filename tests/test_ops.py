@@ -1100,3 +1100,103 @@ def test_levenshtein_kernel_matches_bruteforce(seed):
         b = "".join(rng.choice(list(alpha))
                     for _ in range(rng.randint(0, 15)))
         assert _levenshtein(a, b) == brute(a, b), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# guard regressions (ADVICE r3): out-of-domain values must match the SQL
+# twin's semantics instead of corrupting vectorized accumulators
+
+
+def test_pivot_keeps_users_with_unknown_event_types(ray_session, tmp_path):
+    """event_type outside PIVOT_TYPES: SQL's FILTER counts 0 but GROUP
+    BY keeps the user row; the bincount grid must do the same (a null
+    index_in code used to corrupt the grid)."""
+    import duckdb
+
+    from kgref.ops.events import user_type_pivot, user_type_pivot_sql
+
+    rows = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "event_type": ["click", "weird_type", "view", "alien", "alien"],
+    })
+    pq.write_table(rows, tmp_path / "events.parquet")
+    got = (user_type_pivot(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = (con.execute(user_type_pivot_sql()).df()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert set(got["user_id"]) == {1, 2, 3}  # user 3: all-unknown, kept
+
+
+def test_price_band_drops_out_of_range_prices(ray_session, tmp_path):
+    """A price below band 0 or >= the last edge must be dropped like the
+    oracle's inner join (used to wrap to the last band / IndexError)."""
+    import duckdb
+
+    from kgref.ops.relational import orders_price_band, orders_price_band_sql
+
+    rows = pa.table({
+        "o_totalprice": pa.array([-5.0, 1000.0, 75_000.0, 599_999.0,
+                                  600_000.0, 1e9], pa.float64()),
+    })
+    pq.write_table(rows, tmp_path / "orders.parquet")
+    got = (orders_price_band(str(tmp_path)).to_pandas()
+           .sort_values("band_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    want = (con.execute(orders_price_band_sql()).df()
+            .sort_values("band_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert int(got["n_orders"].sum()) == 3  # -5, 600000, 1e9 dropped
+
+
+def test_quantize_zero_vector_is_defined(ray_session, tmp_path):
+    """An all-zero embedding must quantize to q=0 / err=0 on both sides
+    (scale 0 used to produce NaN/inf casts)."""
+    import duckdb
+
+    from kgref.ops.quantize import embed_quantize, embed_quantize_sql
+
+    rows = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.0, 0.0, 0.0], [0.5, -1.0, 0.25]],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(rows, tmp_path / "embeddings.parquet")
+    got = (embed_quantize(str(tmp_path)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    zero = got[got["vec_id"] == 0].iloc[0]
+    assert zero["scale4"] == 0 and zero["sum_q"] == 0
+    assert zero["max_err6"] == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = (con.execute(embed_quantize_sql()).df()
+            .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_distinct_estimate_emits_exactly_one_row(ray_session, tmp_path):
+    """>16 read batches of partials must still collapse into ONE finish
+    row (the default finish batch_size used to split the final block)."""
+    from kgref.ops.sketch import KMV_K, distinct_estimate
+
+    import hashlib
+
+    n = 20_000  # >> 1024-row finish batches' worth of 64-row partials
+    # md5 hex payloads: the KMV estimator assumes uniform hash values;
+    # sequential-suffix texts cluster under the polynomial fold and
+    # would test the hash's avalanche, not the 1-row finish contract
+    rows = pa.table({"text": [
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(n)]})
+    pq.write_table(rows, tmp_path / "documents.parquet",
+                   row_group_size=500)  # force many read batches
+    got = distinct_estimate(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    est = int(got["est_distinct"].iloc[0])
+    tol = 5 / math.sqrt(KMV_K - 2)  # ~5 sigma of the KMV error band
+    assert abs(est - n) <= tol * n
