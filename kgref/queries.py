@@ -436,6 +436,47 @@ def _top_users(sf_dir: str):
 # ---------------------------------------------------------------------------
 # Driver contract assembly
 
+# The driver's correctness gate checks the FIRST 50 registry entries
+# (CORRECTNESS_r03 stopped at events_rolling_1h), so registration order
+# is gate coverage.  Least-proven first: ops added this round, then the
+# previous round's additions (driver-unchecked in r3 — judge-verified
+# only), then a rotation of older ops; the 17-member annotate family —
+# hash-green in every round since r1 — fills the tail.  Rotate each
+# round so every op gets driver-verified within two rounds.
+_GATE_PRIORITY = [
+    # round-3 additions the r3 driver gate never saw (VERDICT r3 #2)
+    "events_user_pivot", "lineitem_pricing", "orders_by_segment",
+    "nation_orders_join", "orders_price_band", "customers_semi_big",
+    "customers_anti_big", "orders_rollup", "customer_big_order_counts",
+    "customers_anti_native", "vocab_topk", "pack_sequences",
+    "contamination", "tfidf_top_terms", "redact_pii", "dedup_clusters",
+    "dedup_apply", "length_quantiles", "length_quantiles_by_lang",
+    "length_rank", "chunk_docs", "longest_docs", "label_centroids",
+    "embed_quantize", "lm_surprisal", "distinct_estimate",
+    # ops touched this round or least-recently re-proven
+    "annotations_nested", "media_features", "media_manifest", "ann_topk",
+    "ann_topk_lsh", "ann_topk_ivf", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_edit_distance",
+    "dedup_embedding", "normalize_docs", "sample_docs",
+    "sample_stratified", "sample_per_lang", "token_stats",
+    "quality_score", "lang_id", "doc_fingerprint", "repetition_stats",
+    "events_windowed", "events_sessions", "events_window_funcs",
+    "events_topn_per_user", "events_asof_join", "events_rolling_1h",
+    "conv_turns", "conv_triple_counts", "conv_subgraph",
+    "class_frequencies", "events_agg", "top_users",
+]
+
+
+def _gate_order(q: dict[str, Callable[[str], Any]]
+                ) -> dict[str, Callable[[str], Any]]:
+    out: dict[str, Callable[[str], Any]] = {}
+    for name in _GATE_PRIORITY:
+        if name in q:
+            out[name] = q[name]
+    for name, fn in q.items():  # anything unlisted keeps its order
+        out.setdefault(name, fn)
+    return out
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
@@ -456,7 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from .ops import register_queries  # dedup / similarity / textstats
 
     register_queries(q)
-    return q
+    return _gate_order(q)
 
 
 def oracle_sql() -> dict[str, str]:
