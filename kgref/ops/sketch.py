@@ -39,9 +39,10 @@ def distinct_estimate(sf_dir: str, k: int = KMV_K):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        hs = np.unique(np.array(
-            [_text_hash(t) for t in batch.column("text").to_pylist()],
-            dtype=np.int64))[:k]
+        from .m61 import fold_m61_many
+
+        hs = np.unique(fold_m61_many(
+            batch.column("text").to_pylist()).astype(np.int64))[:k]
         return pa.Table.from_arrays([pa.array(hs)], names=["h"])
 
     def finish(batch: pa.Table) -> pa.Table:

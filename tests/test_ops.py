@@ -1200,3 +1200,47 @@ def test_distinct_estimate_emits_exactly_one_row(ray_session, tmp_path):
     est = int(got["est_distinct"].iloc[0])
     tol = 5 / math.sqrt(KMV_K - 2)  # ~5 sigma of the KMV error band
     assert abs(est - n) <= tol * n
+
+
+def test_fold_m61_bit_identical_to_horner():
+    """fold_m61_many (the shared numpy codepoint fold, kgref/ops/m61.py)
+    must be bit-identical to the scalar Horner definition every SQL twin
+    replicates — across empty strings, non-BMP codepoints, long strings
+    and a high-entropy vocabulary (the regime that defeats the old
+    per-token memo, VERDICT r3 'What's wrong' #3)."""
+    import hashlib
+
+    from kgref.ops.m61 import FOLD_BASE, FOLD_MOD, fold_m61_many
+
+    def horner(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * FOLD_BASE + ord(ch)) % FOLD_MOD
+        return h
+
+    texts = ["", "a", "hello world", "café naïve",
+             "\U0001F600 non-bmp \U0001F680 mix",  # astral plane
+             "x" * 5000,
+             *(hashlib.sha256(str(i).encode()).hexdigest()
+               for i in range(200))]
+    got = fold_m61_many(texts)
+    want = np.array([horner(t) for t in texts], dtype=np.uint64)
+    assert got.dtype == np.uint64
+    np.testing.assert_array_equal(got, want)
+    # all-empty and empty-list edge paths
+    np.testing.assert_array_equal(fold_m61_many(["", ""]),
+                                  np.zeros(2, np.uint64))
+    assert len(fold_m61_many([])) == 0
+
+
+def test_fp_token_hash_matches_fold():
+    """doc_fingerprint's batched fold must agree with the legacy
+    memoized _fp_token_hash token-by-token (they share constants)."""
+    from kgref.ops.m61 import fold_m61_many
+    from kgref.ops.textstats import _fp_token_hash
+
+    toks = ["the", "quick", "", "brown", "fox", "ümläut",
+            "0123456789abcdef" * 8]
+    got = fold_m61_many(toks)
+    want = np.array([_fp_token_hash(t) for t in toks], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
