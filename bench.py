@@ -67,6 +67,28 @@ def _replicated_transcripts(sf_dir: str, rep: int, num_blocks: int = 128):
     return ds.map_batches(replicate, batch_format="pyarrow")
 
 
+def _sized(sf_dir: str, rep: int, num_cpus: int) -> tuple[int, int, int]:
+    """(batch_size, annotate_concurrency, num_blocks) sized to the JOB,
+    not the machine: batch_size targets ~1024 post-replication turns
+    per matcher task, the actor pool is capped at the number of tasks
+    the input actually yields, and the input split never exceeds the
+    task count by more than 2x.  Right-sizing is what kills the REP=1
+    'fixed floor' that ANTI-scaled in the r2/r3 phase tables — a 5k-row
+    job used to spawn 30 actors for 5 batches and 128 input blocks of
+    39 rows (round-4 attribution: per-worker spawn+import is the floor,
+    NOT per-actor dictionary build, which measures in microseconds).
+    At REP>=64 every value is identical to the old fixed config."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    batch = max(32, 1024 // rep)
+    n_tasks = max(1, math.ceil(n_docs / batch))
+    conc = max(2, min(num_cpus - 2, n_tasks))
+    return batch, conc, min(128, 2 * n_tasks)
+
+
 def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
     """Flagship: replicated transcripts → actor-pool annotate (hier2 +
     mappings) → salted conv groupby → partitioned parquet + manifests."""
@@ -83,15 +105,16 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
 
     out_dir = "/tmp/kgref_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
+    batch, conc, blocks = _sized(sf_dir, REPLICATE, num_cpus)
     cfg = PipelineConfig(
         num_buckets=128,
         # batch_size counts INPUT rows of the fused stage = pre-replication
         # docs; divide by REPLICATE so each actor task still processes
-        # ~1024 turns (otherwise the whole corpus bundles into ~5 tasks)
-        batch_size=max(32, 1024 // REPLICATE),
-        # fixed-size pool: an autoscaling (2, N) pool spends half of a
-        # short run below capacity
-        annotate_concurrency=max(2, num_cpus - 2),
+        # ~1024 turns (otherwise the whole corpus bundles into ~5 tasks).
+        # Fixed-size pool (an autoscaling (2, N) pool spends half of a
+        # short run below capacity) but capped at the job's task count.
+        batch_size=batch,
+        annotate_concurrency=conc,
         options=AnnotateOptions(expand_hierarchy_levels=2,
                                 expand_mappings=True),
     )
@@ -100,8 +123,9 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
 
     stage = os.environ.get("KGREF_BENCH_STAGE", "full")
     t0 = time.time()
-    triples = build_triples(_replicated_transcripts(sf_dir, REPLICATE),
-                            ray.put(docdict.state()), cfg.options, cfg)
+    triples = build_triples(
+        _replicated_transcripts(sf_dir, REPLICATE, num_blocks=blocks),
+        ray.put(docdict.state()), cfg.options, cfg)
     if stage == "annotate":
         # the BASELINE metric is turns ANNOTATED/sec: stream the matcher
         # stage to a count consumer, no sink
@@ -129,18 +153,20 @@ def bench_annotate_scored(sf_dir: str, num_cpus: int) -> dict:
 
     import pyarrow.parquet as pq
 
+    batch, conc, blocks = _sized(sf_dir, REPLICATE, num_cpus)
     cfg = PipelineConfig(
         num_buckets=128,
-        batch_size=max(32, 1024 // REPLICATE),
-        annotate_concurrency=max(2, num_cpus - 2),
+        batch_size=batch,
+        annotate_concurrency=conc,
         options=AnnotateOptions(expand_hierarchy_levels=2,
                                 expand_mappings=True, score="cvalue"),
     )
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     n_turns = n_docs * REPLICATE
     t0 = time.time()
-    triples = build_triples(_replicated_transcripts(sf_dir, REPLICATE),
-                            ray.put(docdict.state()), cfg.options, cfg)
+    triples = build_triples(
+        _replicated_transcripts(sf_dir, REPLICATE, num_blocks=blocks),
+        ray.put(docdict.state()), cfg.options, cfg)
     n_triples = triples.count()
     wall = time.time() - t0
     return {"sec": round(wall, 3), "turns": n_turns,
@@ -236,12 +262,24 @@ def run_suite_median(sf_dir: str, num_cpus: int,
 
 
 SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+# a pair only counts as CLEAN if the 1-min loadavg sampled right before
+# EACH leg (while this bench is idle, so ~all of it is neighbor load) is
+# at or below this; r3 lost seven criterion runs to undetected neighbor
+# saturation (loadavg 10–28 from outside the container)
+SCALING_LOAD_MAX = float(os.environ.get("GRAFT_SCALING_LOAD_MAX", "4"))
+SCALING_MAX_ATTEMPTS = int(os.environ.get("GRAFT_SCALING_MAX_ATTEMPTS", "8"))
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
 
 
 def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
                rep: int = SCALING_REP) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                GRAFT_BENCH_REP=str(rep), KGREF_BENCH_STAGE=stage)
+    pre_load = _loadavg1()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--headline-json"],
         env=env, capture_output=True, text=True,
@@ -251,7 +289,9 @@ def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
         raise RuntimeError(
             f"bench child (cpus={cpus}, stage={stage}) failed with "
             f"rc={out.returncode}; stderr tail:\n{out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    r = json.loads(lines[-1])
+    r["pre_load"] = pre_load
+    return r
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -265,18 +305,32 @@ def run_scaling(sf_dir: str) -> dict:
     positively biased, the median is not; best and all pairs are
     reported as secondary fields for transparency."""
     pairs = []
-    for _ in range(SCALING_TRIALS):
+    clean = []
+    attempts = 0
+    # keep sampling load windows until SCALING_TRIALS pairs are CLEAN
+    # (pre-leg neighbor load <= SCALING_LOAD_MAX on both legs) or the
+    # attempt budget runs out; every pair is recorded either way
+    while len(clean) < SCALING_TRIALS and attempts < SCALING_MAX_ATTEMPTS:
+        attempts += 1
         r8 = _one_trial(sf_dir, 8)
         r32 = _one_trial(sf_dir, 32)
-        pairs.append({
+        p = {
             "cpus8_turns_per_sec": r8["annotate_turns_per_sec"],
             "cpus32_turns_per_sec": r32["annotate_turns_per_sec"],
             "cpus8_sec": r8["value"],
             "cpus32_sec": r32["value"],
+            "pre_load_8": r8["pre_load"],
+            "pre_load_32": r32["pre_load"],
+            "clean": (r8["pre_load"] <= SCALING_LOAD_MAX
+                      and r32["pre_load"] <= SCALING_LOAD_MAX),
             "efficiency": round(r32["annotate_turns_per_sec"]
                                 / (4 * r8["annotate_turns_per_sec"]), 3),
-        })
-    ranked = sorted(pairs, key=lambda p: p["efficiency"])
+        }
+        pairs.append(p)
+        if p["clean"]:
+            clean.append(p)
+    scored = clean if clean else pairs  # all-dirty window: flag, don't die
+    ranked = sorted(scored, key=lambda p: p["efficiency"])
     median = ranked[len(ranked) // 2]
     best = ranked[-1]
     # one full-pipeline pair (annotate + conv shuffle + resumable sink)
@@ -291,7 +345,11 @@ def run_scaling(sf_dir: str) -> dict:
         "metric": "scaling_efficiency_8_to_32",
         "value": median["efficiency"],
         "unit": "ratio",
-        "estimator": f"median of {SCALING_TRIALS} pairs",
+        "estimator": (f"median of {len(scored)} "
+                      f"{'clean' if clean else 'DIRTY'} pairs "
+                      f"(load<= {SCALING_LOAD_MAX} gate, "
+                      f"{attempts} attempts)"),
+        "clean_pairs": len(clean),
         "queries": {"annotate_cpus8_sec": median["cpus8_sec"],
                     "annotate_cpus32_sec": median["cpus32_sec"]},
         "turns_per_sec": {"cpus8": median["cpus8_turns_per_sec"],
@@ -301,6 +359,8 @@ def run_scaling(sf_dir: str) -> dict:
         "full_pipeline": {"cpus8_turns_per_sec": f8["annotate_turns_per_sec"],
                           "cpus32_turns_per_sec": f32["annotate_turns_per_sec"],
                           "efficiency": full_eff,
+                          "pre_load_8": f8["pre_load"],
+                          "pre_load_32": f32["pre_load"],
                           "replicate": SCALING_REP_FULL},
         "scaling_rep": SCALING_REP,
         "sf": sf_dir,

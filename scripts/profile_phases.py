@@ -55,17 +55,24 @@ def run_leg(leg: str, cpus: int) -> dict:
         from kgref.pipelines.annotate_pipeline import build_triples
         from kgref.schemas import AnnotateOptions, PipelineConfig
 
+        from bench import _sized
+
+        rep = 1 if leg == "floor" else REP
+        # size to the LEG's rep, not the env REP: the floor leg used to
+        # run 5k rows through REP=64-sized 32-row batches, 30 actors and
+        # 128 blocks — measuring over-provisioning, not fixed overhead
+        batch, conc, blocks = _sized(SF_DIR, rep, cpus)
         cfg = PipelineConfig(
             num_buckets=128,
-            batch_size=max(32, 1024 // REP),
-            annotate_concurrency=max(2, cpus - 2),
+            batch_size=batch,
+            annotate_concurrency=conc,
             options=AnnotateOptions(expand_hierarchy_levels=2,
                                     expand_mappings=True),
         )
-        rep = 1 if leg == "floor" else REP
         t0 = time.time()
-        triples = build_triples(_replicated_transcripts(SF_DIR, rep),
-                                ray.put(docdict.state()), cfg.options, cfg)
+        triples = build_triples(
+            _replicated_transcripts(SF_DIR, rep, num_blocks=blocks),
+            ray.put(docdict.state()), cfg.options, cfg)
         extra: dict = {}
         if leg == "floor":
             # REP=1 full pipeline ≈ the fixed, parallelism-independent
