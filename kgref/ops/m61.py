@@ -79,3 +79,15 @@ def fold_m61_many(texts: list[str], base: int = FOLD_BASE) -> np.ndarray:
     x = _mulmod_m61(hi_s, np.full(n, 1 << 32, np.uint64)) + (lo_s % p)
     x = (x & p) + (x >> np.uint64(61))
     return np.where(x >= p, x - p, x)
+
+
+def fold_sql(expr: str, base: int = FOLD_BASE) -> str:
+    """DuckDB twin of :func:`fold_m61_many` for a VARCHAR expression —
+    the HUGEINT Horner every fold-oracled query shares (cf.
+    kgref.ops.sketch.distinct_estimate_sql)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ascii(({expr})[i]) AS HUGEINT))), "
+        f"(a, b) -> (a * {base} + b) % {FOLD_MOD})"
+    )

@@ -407,17 +407,69 @@ def _events_agg(sf_dir: str):
 
 
 def _annotations_nested(sf_dir: str):
-    """Reference-shape nested serializer (S5/D5 recovery path): flat
-    triples → one JSON object per turn with spans/direct/hierarchy/
-    mappings nested.  Rows-only gate (nested JSON isn't
-    SQL-hash-comparable); the exact round-trip contract — parse the
-    JSON back, recover the flat triple multiset — lives in
-    tests/test_serialize.py."""
-    from .stages.serialize import nest_annotations
+    """Reference-shape nested serializer (S5/D5 recovery path), gated
+    via its integer projection: flat triples → nest_annotations (one
+    JSON object per turn, spans/direct/hierarchy/mappings nested) →
+    nested_projection (parse each line back, reduce every nested list
+    to exact-int counts/sums/M61-folds).  The projection hash-matches
+    annotations_nested_sql — a DuckDB twin built from the independently
+    re-derived flat triples — so the serializer is value-gated on
+    content and structure (r3 VERDICT #5; it was rows-only before);
+    byte-level JSON formatting is pinned by the exact round-trip test
+    in tests/test_serialize.py, and the raw-JSON API remains
+    kgref.stages.serialize.nest_annotations."""
+    from .stages.serialize import nest_annotations, nested_projection
 
     t = _annotate_ds(sf_dir, AnnotateOptions(expand_hierarchy_levels=2,
                                              expand_mappings=True))
-    return nest_annotations(t, num_buckets=_QUERY_BUCKETS)
+    return nested_projection(nest_annotations(t,
+                                              num_buckets=_QUERY_BUCKETS))
+
+
+def annotations_nested_sql() -> str:
+    """DuckDB twin of the nested-export projection, built from the
+    flat-triples oracle (hier2 + mappings — the options the nested
+    query runs): spans are DISTINCT (conv, turn, from, to), list-entry
+    counts/folds group the triple rows per turn."""
+    from .ops.m61 import fold_sql
+
+    def f9(expr: str) -> str:
+        return f"({fold_sql(expr)} % 1000000000)"
+
+    tri = annotate_oracle_sql(AnnotateOptions(expand_hierarchy_levels=2,
+                                              expand_mappings=True))
+    return f"""
+WITH tri AS ({tri}),
+span AS (SELECT DISTINCT conv_id, turn_idx, from_1b, to_1b, matched_text
+         FROM tri),
+s AS (SELECT conv_id, turn_idx,
+             CAST(count(*) AS INTEGER) AS n_spans,
+             CAST(sum(from_1b + to_1b) AS BIGINT) AS edge_sum,
+             CAST(sum({f9('matched_text')}) AS BIGINT) AS text_fold9
+      FROM span GROUP BY conv_id, turn_idx),
+p AS (SELECT conv_id, turn_idx,
+             CAST(count(*) FILTER (WHERE pred = 'annotated_with')
+                  AS INTEGER) AS n_direct,
+             CAST(count(*) FILTER (WHERE pred = 'isa_closure')
+                  AS INTEGER) AS n_hier,
+             CAST(count(*) FILTER (WHERE pred = 'mapped_to')
+                  AS INTEGER) AS n_map,
+             CAST(sum(CASE WHEN pred = 'isa_closure' THEN distance
+                           ELSE 0 END) AS BIGINT) AS dist_sum,
+             CAST(sum({f9('obj')}) AS BIGINT) AS uri_fold9,
+             CAST(sum({f9('pref_label')}) AS BIGINT) AS label_fold9,
+             CAST(sum(CASE WHEN pred = 'annotated_with'
+                           THEN {f9('cui')} ELSE 0 END) AS BIGINT)
+                  AS cui_fold9,
+             CAST(sum(CASE WHEN pred = 'annotated_with'
+                           THEN {f9('match_type')} ELSE 0 END) AS BIGINT)
+                  AS mt_fold9
+      FROM tri GROUP BY conv_id, turn_idx)
+SELECT s.conv_id, s.turn_idx, s.n_spans, p.n_direct, p.n_hier, p.n_map,
+       s.edge_sum, p.dist_sum, p.uri_fold9, s.text_fold9, p.label_fold9,
+       p.cui_fold9, p.mt_fold9
+FROM s JOIN p USING (conv_id, turn_idx)
+"""
 
 
 def _top_users(sf_dir: str):
@@ -522,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
     o["conv_subgraph"] = annotate_oracle_sql(
         AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
     )
+    o["annotations_nested"] = annotations_nested_sql()
     o["class_frequencies"] = (
         "SELECT obj, pred, count(*) AS n_annotations FROM ("
         + annotate_oracle_sql(

@@ -59,31 +59,7 @@ def decode_dictionary_columns(t: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, names=names)
 
 
-def _span_obj(sg: pd.DataFrame, f: int, t: int) -> dict:
-    direct = sg[sg["pred"] == "annotated_with"]
-    hier = sg[sg["pred"] == "isa_closure"]
-    mapped = sg[sg["pred"] == "mapped_to"]
-    text = (direct if len(direct) else sg)["matched_text"].iloc[0]
-    return {
-        "from": int(f),
-        "to": int(t),
-        "text": text,
-        "direct": [
-            {"class_uri": r.obj, "match_type": r.match_type,
-             "pref_label": r.pref_label, "cui": r.cui,
-             "score": float(r.score)}
-            for r in direct.sort_values("obj").itertuples()
-        ],
-        "hierarchy": [
-            {"class_uri": r.obj, "distance": int(r.distance),
-             "pref_label": r.pref_label}
-            for r in hier.sort_values(["distance", "obj"]).itertuples()
-        ],
-        "mappings": [
-            {"class_uri": r.obj, "pref_label": r.pref_label}
-            for r in mapped.sort_values("obj").itertuples()
-        ],
-    }
+_PRED_RANK = {"annotated_with": 0, "isa_closure": 1, "mapped_to": 2}
 
 
 def _nest_bucket(df: pd.DataFrame,
@@ -91,22 +67,80 @@ def _nest_bucket(df: pd.DataFrame,
     """One conv bucket → one JSONL row per turn.  With ``out_dir``, the
     group also writes its lines to ``bucket-<id>.jsonl`` (atomic
     tmp+rename, worker-side — the same sidecar pattern as the manifest
-    stats; no driver-side collection of the export)."""
+    stats; no driver-side collection of the export).
+
+    ONE sort puts every nested list in its contract order — turns by
+    (conv, turn), spans by (from, to), then pred rank with direct /
+    mappings by class_uri and hierarchy by (distance, class_uri); the
+    distance key is a no-op for direct/mapped rows (always 0, pinned by
+    test_nest_bucket_matches_naive) — after which a single boundary-walk
+    pass builds the dicts.  The earlier per-span pandas
+    groupby/mask/sort version cost ~2 ms per TRIPLE (124 s for 58k
+    triples at sf0.001 — profiled r4); this one is bounded by
+    json.dumps itself."""
+    df = df.sort_values(
+        ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "distance",
+         "obj"],
+        key=lambda s: s.map(_PRED_RANK) if s.name == "pred" else s,
+        kind="mergesort")
+    conv_a = df["conv_id"].tolist()
+    turn_a = df["turn_idx"].tolist()
+    from_a = df["from_1b"].tolist()
+    to_a = df["to_1b"].tolist()
+    pred_a = df["pred"].tolist()
+    obj_a = df["obj"].tolist()
+    mt_a = df["match_type"].tolist()
+    text_a = df["matched_text"].tolist()
+    dist_a = df["distance"].tolist()
+    label_a = df["pref_label"].tolist()
+    cui_a = df["cui"].tolist()
+    score_a = df["score"].tolist()
+
     out_conv: list[str] = []
     out_turn: list[int] = []
     out_nspans: list[int] = []
     out_json: list[str] = []
-    for (conv, turn), g in df.groupby(["conv_id", "turn_idx"], sort=True):
-        spans = [
-            _span_obj(sg, f, t)
-            for (f, t), sg in g.groupby(["from_1b", "to_1b"], sort=True)
-        ]
+    turn_key = span_key = None
+    spans: list[dict] = []
+    span: dict = {}
+
+    def flush_turn() -> None:
+        conv, turn = turn_key
         out_conv.append(conv)
         out_turn.append(int(turn))
         out_nspans.append(len(spans))
         out_json.append(json.dumps(
             {"conv_id": conv, "turn_idx": int(turn), "spans": spans},
             sort_keys=True, separators=(",", ":")))
+
+    for i in range(len(conv_a)):
+        tk = (conv_a[i], turn_a[i])
+        sk = (from_a[i], to_a[i])
+        if tk != turn_key:
+            if turn_key is not None:
+                flush_turn()
+            turn_key, span_key, spans = tk, None, []
+        if sk != span_key or not spans:
+            span_key = sk
+            span = {"from": int(from_a[i]), "to": int(to_a[i]),
+                    "text": text_a[i], "direct": [], "hierarchy": [],
+                    "mappings": []}
+            spans.append(span)
+        p = pred_a[i]
+        if p == "annotated_with":
+            span["direct"].append(
+                {"class_uri": obj_a[i], "match_type": mt_a[i],
+                 "pref_label": label_a[i], "cui": cui_a[i],
+                 "score": float(score_a[i])})
+        elif p == "isa_closure":
+            span["hierarchy"].append(
+                {"class_uri": obj_a[i], "distance": int(dist_a[i]),
+                 "pref_label": label_a[i]})
+        else:
+            span["mappings"].append(
+                {"class_uri": obj_a[i], "pref_label": label_a[i]})
+    if turn_key is not None:
+        flush_turn()
     if out_dir is not None and out_json:
         import os
 
@@ -150,3 +184,90 @@ def write_annotations_jsonl(triples, out_dir: str,
     the number of turn lines written."""
     nested = nest_annotations(triples, num_buckets, out_dir)
     return nested.count()
+
+
+def nested_projection(nested):
+    """Hash-gateable integer projection of the nested-JSON export.
+
+    Parses each emitted JSON line back (``json.loads`` — independent of
+    the ``json.dumps`` construction path) and reduces every nested list
+    to exact-integer per-turn statistics: entry counts per list kind,
+    span edge/distance sums, and M61-fold sums (mod 10^9) of every
+    string field — class URIs, span texts, pref labels, CUIs, match
+    types.  A dropped/duplicated/misgrouped/mislabeled entry anywhere
+    in the nesting moves at least one column, and every column has an
+    exact DuckDB twin built from the independently re-derived flat
+    triples (queries.annotations_nested_sql), so the serializer is
+    value-hash-gated end-to-end; byte-level JSON formatting is pinned
+    separately by the exact round-trip test in tests/test_serialize.py.
+
+    The per-row walk is Python by nature — this is the serialization
+    boundary (same status as _nest_bucket), and it runs distributed
+    inside map_batches."""
+    import numpy as np
+
+    def proj(batch: pa.Table) -> pa.Table:
+        from ..ops.m61 import fold_m61_many
+
+        mod = np.uint64(1_000_000_000)
+        rows = batch.column("json").to_pylist()
+        n = len(rows)
+        n_spans = np.zeros(n, np.int32)
+        n_direct = np.zeros(n, np.int32)
+        n_hier = np.zeros(n, np.int32)
+        n_map = np.zeros(n, np.int32)
+        edge_sum = np.zeros(n, np.int64)
+        dist_sum = np.zeros(n, np.int64)
+        # (strings, owning row) per folded field, folded in ONE
+        # vectorized pass per field after the walk
+        acc: dict[str, tuple[list[str], list[int]]] = {
+            k: ([], []) for k in ("uri", "text", "label", "cui", "mt")}
+
+        def put(k: str, s: str, r: int) -> None:
+            acc[k][0].append(s)
+            acc[k][1].append(r)
+
+        for r, js in enumerate(rows):
+            obj = json.loads(js)
+            spans = obj["spans"]
+            n_spans[r] = len(spans)
+            for sp in spans:
+                edge_sum[r] += sp["from"] + sp["to"]
+                put("text", sp["text"], r)
+                for e in sp["direct"]:
+                    n_direct[r] += 1
+                    put("uri", e["class_uri"], r)
+                    put("label", e["pref_label"], r)
+                    put("cui", e["cui"], r)
+                    put("mt", e["match_type"], r)
+                for e in sp["hierarchy"]:
+                    n_hier[r] += 1
+                    dist_sum[r] += e["distance"]
+                    put("uri", e["class_uri"], r)
+                    put("label", e["pref_label"], r)
+                for e in sp["mappings"]:
+                    n_map[r] += 1
+                    put("uri", e["class_uri"], r)
+                    put("label", e["pref_label"], r)
+
+        def fold9(k: str) -> np.ndarray:
+            out = np.zeros(n, np.int64)
+            strs, rws = acc[k]
+            if strs:
+                f = (fold_m61_many(strs) % mod).astype(np.int64)
+                np.add.at(out, np.asarray(rws, np.int64), f)
+            return out
+
+        return pa.Table.from_arrays(
+            [batch.column("conv_id"), batch.column("turn_idx"),
+             pa.array(n_spans, pa.int32()), pa.array(n_direct, pa.int32()),
+             pa.array(n_hier, pa.int32()), pa.array(n_map, pa.int32()),
+             pa.array(edge_sum), pa.array(dist_sum),
+             pa.array(fold9("uri")), pa.array(fold9("text")),
+             pa.array(fold9("label")), pa.array(fold9("cui")),
+             pa.array(fold9("mt"))],
+            names=["conv_id", "turn_idx", "n_spans", "n_direct", "n_hier",
+                   "n_map", "edge_sum", "dist_sum", "uri_fold9",
+                   "text_fold9", "label_fold9", "cui_fold9", "mt_fold9"])
+
+    return nested.map_batches(proj, batch_format="pyarrow")

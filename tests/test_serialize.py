@@ -53,6 +53,10 @@ def test_nested_jsonl_round_trips_to_flat_triples(ray_session, tmp_path):
     want = {(r.conv_id, int(r.turn_idx), int(r.from_1b), int(r.to_1b),
              r.pred, r.obj, int(r.distance))
             for r in flat.itertuples()}
+    # _nest_bucket's single-sort ordering relies on distance == 0 for
+    # every non-hierarchy row (so the (pred, distance, obj) key reduces
+    # to obj-order inside direct/mappings) — pin that on real output
+    assert (flat.loc[flat["pred"] != "isa_closure", "distance"] == 0).all()
 
     out = str(tmp_path / "jsonl")
     n_lines = write_annotations_jsonl(_triples(SF), out, num_buckets=8)
@@ -84,3 +88,84 @@ def test_nested_dataset_is_deterministic_and_sorted(ray_session):
     assert spans == sorted(spans)
     assert a["json"].iloc[0] == json.dumps(row, sort_keys=True,
                                            separators=(",", ":"))
+
+
+def _span_obj_naive(sg, f, t):
+    direct = sg[sg["pred"] == "annotated_with"]
+    hier = sg[sg["pred"] == "isa_closure"]
+    mapped = sg[sg["pred"] == "mapped_to"]
+    text = (direct if len(direct) else sg)["matched_text"].iloc[0]
+    return {
+        "from": int(f), "to": int(t), "text": text,
+        "direct": [{"class_uri": r.obj, "match_type": r.match_type,
+                    "pref_label": r.pref_label, "cui": r.cui,
+                    "score": float(r.score)}
+                   for r in direct.sort_values("obj").itertuples()],
+        "hierarchy": [{"class_uri": r.obj, "distance": int(r.distance),
+                       "pref_label": r.pref_label}
+                      for r in hier.sort_values(["distance",
+                                                 "obj"]).itertuples()],
+        "mappings": [{"class_uri": r.obj, "pref_label": r.pref_label}
+                     for r in mapped.sort_values("obj").itertuples()],
+    }
+
+
+def _nest_naive(df):
+    """Per-group pandas reference implementation (the pre-r4 production
+    code, retired for costing ~2 ms per triple): grouping + per-list
+    sorts spelled out independently of _nest_bucket's single-sort
+    boundary walk."""
+    import pandas as pd
+
+    oc, ot, ons, oj = [], [], [], []
+    for (conv, turn), g in df.groupby(["conv_id", "turn_idx"], sort=True):
+        spans = [_span_obj_naive(sg, f, t)
+                 for (f, t), sg in g.groupby(["from_1b", "to_1b"],
+                                             sort=True)]
+        oc.append(conv)
+        ot.append(int(turn))
+        ons.append(len(spans))
+        oj.append(json.dumps(
+            {"conv_id": conv, "turn_idx": int(turn), "spans": spans},
+            sort_keys=True, separators=(",", ":")))
+    return pd.DataFrame({"conv_id": oc,
+                         "turn_idx": pd.array(ot, dtype="int32"),
+                         "n_spans": pd.array(ons, dtype="int32"),
+                         "json": oj})
+
+
+def test_nest_bucket_matches_naive():
+    """The vectorized single-sort _nest_bucket must be byte-identical
+    to the naive per-group implementation on a frame that exercises
+    every boundary: multiple convs/turns/spans, all three preds, ties
+    on obj order, a hierarchy-only span (text fallback), shuffled
+    input order, and adjacent turns sharing a (from, to) span key."""
+    import numpy as np
+    import pandas as pd
+
+    from kgref.stages.serialize import _nest_bucket
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for conv in ["c2", "c1"]:
+        for turn in [3, 0, 1]:
+            for f, t in [(5, 9), (1, 3), (5, 7)]:
+                preds = rng.choice(
+                    ["annotated_with", "isa_closure", "mapped_to"],
+                    size=rng.integers(1, 6))
+                if (f, t) == (5, 7):
+                    preds = ["isa_closure"] * len(preds)  # no-direct span
+                for k, p in enumerate(preds):
+                    rows.append({
+                        "conv_id": conv, "turn_idx": turn, "from_1b": f,
+                        "to_1b": t, "pred": p,
+                        "obj": f"uri:{rng.integers(0, 4)}",
+                        "match_type": "PREF", "matched_text": f"tx{f}{t}",
+                        "distance": (int(rng.integers(1, 4))
+                                     if p == "isa_closure" else 0),
+                        "pref_label": f"L{k % 3}", "cui": f"C{k % 2}",
+                        "score": float(k), "bucket": 0})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3)
+    got = _nest_bucket(df).reset_index(drop=True)
+    want = _nest_naive(df).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
