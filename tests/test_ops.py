@@ -289,9 +289,18 @@ def test_media_features_schema_and_determinism(ray_session):
     got = media_features(SF)
     t = got.take_batch(batch_size=100, batch_format="pyarrow")
     assert [f.name for f in FEATURES] == t.column_names
-    feats = np.array(t.column("features").to_pylist())
-    assert feats.shape[1] == 16
-    np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+    hist = np.stack([t.column(f"h{b:02d}").to_numpy() for b in range(16)],
+                    axis=1)
+    # bin counts sum to the decoded sample count — w*h*3 per image
+    # frame, blen PCM bytes per audio doc
+    total = hist.sum(axis=1)
+    did = t.column("doc_id").to_numpy()
+    w, h = 16 + did % 16, 16 + did % 8
+    want = np.select(
+        [did % 3 == 0, did % 3 == 1],
+        [w * h * 3, (did % 7 + 2) * 256],
+        (did % 5 + 2) * w * h * 3)
+    assert (total == want).all()
     assert set(t.column("media_type").to_pylist()) <= {"image", "audio",
                                                         "video"}
     # video frame counts come from the real AVI container header walk:
@@ -301,6 +310,42 @@ def test_media_features_schema_and_determinism(ray_session):
                                          t.column("n_frames").to_pylist())
             if mt == "video"]
     assert vids and all(nf == d % 5 + 2 for d, nf in vids)
+
+
+def test_media_feature_closed_form(ray_session):
+    """The oracle's sample model — decoded byte j == sha256(text)[j%32],
+    histogram = seed-byte counts x tiling multiplicity, thumb sum = 192
+    closed-form seed lookups — must match what the REAL encode ->
+    container -> decode path computes (media_features_sql leans on
+    this)."""
+    import hashlib
+
+    from kgref.ops.multimodal import media_features
+
+    t = media_features(SF).take_batch(batch_size=60,
+                                      batch_format="pyarrow")
+    texts = {r["doc_id"]: r["text"]
+             for r in pq.read_table(f"{SF}/documents.parquet",
+                                    columns=["doc_id", "text"]).to_pylist()}
+    for i, did in enumerate(t.column("doc_id").to_pylist()):
+        seed = np.frombuffer(
+            hashlib.sha256(texts[did].encode()).digest(), np.uint8)
+        w, h = 16 + did % 16, 16 + did % 8
+        n = (w * h * 3 if did % 3 == 0
+             else (did % 7 + 2) * 256 if did % 3 == 1
+             else (did % 5 + 2) * w * h * 3)
+        cnt = (n - np.arange(32) + 31) // 32
+        hist = np.zeros(16, np.int64)
+        np.add.at(hist, seed >> 4, cnt)
+        got = [t.column(f"h{b:02d}")[i].as_py() for b in range(16)]
+        assert got == hist.tolist(), did
+        ts = 0
+        if did % 3 == 0:
+            for y in (np.arange(8) * h) // 8:
+                for x in (np.arange(8) * w) // 8:
+                    for c in range(3):
+                        ts += int(seed[((y * w + x) * 3 + c) % 32])
+        assert t.column("thumb_sum")[i].as_py() == ts, did
 
 
 def test_decode_rejects_unknown_containers():
