@@ -699,6 +699,36 @@ class AnnotateTriples:
         )
 
 
+class StatisticalAnnotateTriples(AnnotateTriples):
+    """Third recognizer through the plugin surface: a Mallet-style
+    statistical tagger (averaged-perceptron BIO + in-run grounding,
+    kgref.statmatch) instead of dictionary scanning
+    (≙ ref:lib/ncbo_annotator/recognizers/mallet.rb [M] — the
+    reference's statistical recognizer plugin).  The model is trained
+    ONCE per actor in __init__ from the broadcast dictionary state
+    (deterministic distant supervision), the same stateful-stage slot
+    where the other engines build their automata.  Filtering,
+    expansion and canonicalization are shared and engine-independent."""
+
+    def __init__(self, state, opts: AnnotateOptions | None = None):
+        super().__init__(state, opts)
+        from ..statmatch import StatisticalTermScanner
+
+        self._scanner = StatisticalTermScanner(
+            self.state.term_dictionary().term_ids_by_norm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return annotate_rows(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("text").to_pylist(),
+            self.state,
+            self.opts,
+            match_fn=self._scanner.match,
+            registry=self.registry,
+        )
+
+
 class RegexAnnotateTriples(AnnotateTriples):
     """Second recognizer through the plugin surface
     (build_triples(recognizer=RegexAnnotateTriples)): raw matching runs
