@@ -12,6 +12,7 @@ from . import (
     contamination,
     dedup,
     events,
+    heavyhitters,
     lm,
     multimodal,
     normalize,
@@ -32,7 +33,7 @@ from . import (
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch)
+            sketch, heavyhitters)
 
 
 def register_queries(q: dict) -> None:

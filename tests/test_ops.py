@@ -1289,3 +1289,46 @@ def test_fp_token_hash_matches_fold():
     got = fold_m61_many(toks)
     want = np.array([_fp_token_hash(t) for t in toks], dtype=np.uint64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_heavy_hitters_exact_vs_python(ray_session):
+    """Two-pass heavy hitters must return EXACTLY the tokens with
+    corpus frequency > N/k with their exact counts, in (count desc,
+    token asc) order — the candidate pruning is an optimization, not an
+    approximation."""
+    from collections import Counter
+
+    from kgref.ops.heavyhitters import HH_K, heavy_hitters
+
+    got = heavy_hitters(SF).to_pandas()
+    c = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["text"]).column("text").to_pylist():
+        c.update(t.split(" "))
+    n = sum(c.values())
+    want = sorted(((w, m) for w, m in c.items() if m * HH_K > n),
+                  key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(got["token"], got["n_total"])) == want
+    assert want  # non-vacuous: the corpus does have heavy tokens
+
+
+def test_heavy_hitters_candidate_bound_is_superset():
+    """The phase-1 invariant the operator rests on: any token with
+    global freq > N/k is locally heavy (freq_b > N_b/k) in >= 1 batch.
+    Exercise it adversarially — a token spread thinly across many
+    batches must NOT be reported, one concentrated in a single batch
+    must be."""
+    from collections import Counter
+
+    batches = [["x"] * 9 + ["spread"] for _ in range(10)]  # spread: 10%
+    batches.append(["hot"] * 30 + ["x"] * 10)
+    flat = [t for b in batches for t in b]
+    n, k = len(flat), 5
+    c = Counter(flat)
+    globally_heavy = {w for w, m in c.items() if m * k > n}
+    locally_heavy = set()
+    for b in batches:
+        cb = Counter(b)
+        locally_heavy |= {w for w, m in cb.items() if m * k > len(b)}
+    assert globally_heavy <= locally_heavy  # the superset guarantee
+    assert "hot" in globally_heavy and "spread" not in globally_heavy
