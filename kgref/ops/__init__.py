@@ -13,6 +13,7 @@ from . import (
     dedup,
     events,
     heavyhitters,
+    invindex,
     lm,
     multimodal,
     normalize,
@@ -33,7 +34,7 @@ from . import (
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch, heavyhitters)
+            sketch, heavyhitters, invindex)
 
 
 def register_queries(q: dict) -> None:

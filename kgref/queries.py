@@ -497,7 +497,8 @@ def _top_users(sf_dir: str):
 # round so every op gets driver-verified within two rounds.
 _GATE_PRIORITY = [
     # round-4 additions — newest first
-    "heavy_hitters", "annotations_nested", "media_features",
+    "inverted_index", "heavy_hitters", "annotations_nested",
+    "media_features",
     # round-3 additions the r3 driver gate never saw (VERDICT r3 #2)
     "events_user_pivot", "lineitem_pricing", "orders_by_segment",
     "nation_orders_join", "orders_price_band", "customers_semi_big",

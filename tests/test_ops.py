@@ -1332,3 +1332,34 @@ def test_heavy_hitters_candidate_bound_is_superset():
         locally_heavy |= {w for w, m in cb.items() if m * k > len(b)}
     assert globally_heavy <= locally_heavy  # the superset guarantee
     assert "hot" in globally_heavy and "spread" not in globally_heavy
+
+
+def test_inverted_index_artifact_roundtrip(ray_session, tmp_path):
+    """The posting-list shards written worker-side must reconstruct the
+    exact distinct (token, doc_id) pair set of the corpus, lists sorted,
+    one shard per token-hash bucket, df consistent with list length."""
+    from kgref.ops.invindex import inverted_index
+
+    out = str(tmp_path / "idx")
+    proj = inverted_index(SF, num_buckets=8, out_dir=out).to_pandas()
+
+    import glob
+
+    got_pairs = set()
+    for f in glob.glob(out + "/postings-*.parquet"):
+        shard = pq.read_table(f)
+        for tok, dfreq, post in zip(shard.column("token").to_pylist(),
+                                    shard.column("df").to_pylist(),
+                                    shard.column("postings").to_pylist()):
+            assert dfreq == len(post)
+            assert post == sorted(post)
+            got_pairs |= {(tok, d) for d in post}
+
+    want_pairs = set()
+    for r in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pylist():
+        want_pairs |= {(w, r["doc_id"]) for w in r["text"].split(" ")}
+    assert got_pairs == want_pairs
+    # the projection agrees with the artifact
+    assert set(proj["token"]) == {t for t, _ in want_pairs}
+    assert int(proj["df"].sum()) == len(want_pairs)
