@@ -14,6 +14,7 @@ from . import (
     events,
     heavyhitters,
     invindex,
+    kgraph,
     lm,
     multimodal,
     normalize,
@@ -34,7 +35,7 @@ from . import (
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch, heavyhitters, invindex)
+            sketch, heavyhitters, invindex, kgraph)
 
 
 def register_queries(q: dict) -> None:

@@ -497,6 +497,7 @@ def _top_users(sf_dir: str):
 # round so every op gets driver-verified within two rounds.
 _GATE_PRIORITY = [
     # round-4 additions — newest first
+    "class_cooccurrence", "class_degree", "cooccur_components",
     "inverted_index", "heavy_hitters", "annotations_nested",
     "media_features",
     # round-3 additions the r3 driver gate never saw (VERDICT r3 #2)

@@ -1363,3 +1363,18 @@ def test_inverted_index_artifact_roundtrip(ray_session, tmp_path):
     # the projection agrees with the artifact
     assert set(proj["token"]) == {t for t, _ in want_pairs}
     assert int(proj["df"].sum()) == len(want_pairs)
+
+
+def test_cooccur_components_label_by_min_uri(ray_session):
+    """Component labels must be the lexicographically smallest member
+    URI — pinned on the real corpus by checking internal consistency:
+    every component label is a member of its own component and is its
+    minimum."""
+    from kgref.ops.kgraph import cooccur_components
+
+    got = cooccur_components(SF).to_pandas()
+    assert len(got)
+    by_comp = got.groupby("component")["class_uri"].apply(set)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+        assert comp in members
