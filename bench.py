@@ -268,6 +268,14 @@ SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 # saturation (loadavg 10–28 from outside the container)
 SCALING_LOAD_MAX = float(os.environ.get("GRAFT_SCALING_LOAD_MAX", "4"))
 SCALING_MAX_ATTEMPTS = int(os.environ.get("GRAFT_SCALING_MAX_ATTEMPTS", "8"))
+# seconds to wait (sampling every 10 s) for the 1-min loadavg to decay
+# below the gate before a leg starts: the first round-4 criterion run
+# showed the 32-CPU leg's pre-load reading is dominated by exponential
+# DECAY RESIDUE of this bench's own just-finished 8-CPU leg (~160 s at
+# 8 procs drives loadavg toward 8; one instant later it still reads ~5),
+# so without a settle the gate can never mark a pair clean even on an
+# idle host
+SCALING_SETTLE_S = float(os.environ.get("GRAFT_SCALING_SETTLE_S", "150"))
 
 
 def _loadavg1() -> float:
@@ -275,10 +283,17 @@ def _loadavg1() -> float:
         return float(f.read().split()[0])
 
 
+def _settle() -> None:
+    deadline = time.monotonic() + SCALING_SETTLE_S
+    while time.monotonic() < deadline and _loadavg1() > SCALING_LOAD_MAX:
+        time.sleep(10)
+
+
 def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
                rep: int = SCALING_REP) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                GRAFT_BENCH_REP=str(rep), KGREF_BENCH_STAGE=stage)
+    _settle()
     pre_load = _loadavg1()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--headline-json"],
