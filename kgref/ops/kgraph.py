@@ -12,6 +12,14 @@ from them — the step after annotation in the north-star pipeline:
   graph, labelled by each component's lexicographically smallest class
   URI (reuses the distributed min-label propagation from ops/clusters —
   the same machinery that resolves dup clusters).
+- ``class_pagerank``: weighted PageRank over the co-occurrence graph,
+  K=3 fixed iterations in exact int64 fixed-point arithmetic so the
+  DuckDB twin (unrolled CTEs, HUGEINT intermediates) matches
+  bit-for-bit — no float accumulation-order tolerance gymnastics.
+- ``class_triangles``: per-class exact triangle counts via the forward
+  wedge algorithm (center < both neighbors, so each triangle is
+  generated once), wedge generation with ``pairs_in_runs`` per coarse
+  partition and a broadcast packed-edge-key membership check.
 
 Scale shape: a turn's triples can straddle batch boundaries, so pair
 induction needs turns co-located — ONE coarse exchange on the conv
@@ -167,6 +175,233 @@ def cooccur_components(sf_dir: str):
     return comp.map_batches(back, batch_format="pyarrow")
 
 
+PR_SCALE = 10**8        # fixed-point unit: p0 = 1.0 == 10^8
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+PR_ITERS = 3
+
+
+def _dense_edges(sf_dir: str):
+    """Driver-side dense-int view of the co-occurrence edge list (the
+    documented class-dimension-sized small side, same justification as
+    ``cooccur_components``): sorted-enumerated URIs so int identities
+    round-trip to URIs exactly."""
+    edges = class_cooccurrence(sf_dir).take_all()
+    uris = sorted({r["class_a"] for r in edges}
+                  | {r["class_b"] for r in edges})
+    idx = {u: i for i, u in enumerate(uris)}
+    a = np.array([idx[r["class_a"]] for r in edges], np.int64)
+    b = np.array([idx[r["class_b"]] for r in edges], np.int64)
+    w = np.array([r["n_turns"] for r in edges], np.int64)
+    return uris, a, b, w
+
+
+def _empty(names: list[str], types: list[pa.DataType]):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_arrays(
+        [pa.array([], t) for t in types], names=names))
+
+
+def class_pagerank(sf_dir: str):
+    """(class_uri, pagerank) — weighted PageRank over the symmetric
+    co-occurrence graph, ``PR_ITERS`` fixed iterations, damping 0.85,
+    ALL arithmetic in int64 fixed point (unit ``PR_SCALE``):
+
+        contrib(u→v) = (p_u * w_uv) // wsum_u        (per-edge floor)
+        p'(v) = PR_BASE + PR_DAMP_NUM * Σ contrib // PR_DAMP_DEN
+
+    which the SQL twin reproduces exactly with HUGEINT intermediates.
+    Iteration shape is ops/clusters.label_propagation's: the static
+    weighted edge side (with its per-source out-weight attached) is
+    partitioned on ``src % n_parts`` and materialized ONCE; per round
+    one grouped exchange co-locates the node-sized label table with it,
+    ONE vectorized pandas merge per coarse partition emits per-edge
+    contributions, and a native node-keyed groupby sums them.  Only the
+    label table (one int64 row per node) moves per round.
+
+    int64 headroom: total mass stays ≤ n_nodes·PR_SCALE, so the per-edge
+    product needs n_nodes·PR_SCALE·max_w < 2^63 (asserted); past that,
+    split the product exactly as (p//wsum)·w + ((p%wsum)·w)//wsum."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .pairs import n_parts_for_rows
+
+    uris, a, b, w = _dense_edges(sf_dir)
+    if not len(a):
+        return _empty(["class_uri", "pagerank"], [pa.string(), pa.int64()])
+    n = len(uris)
+    src = np.r_[a, b]
+    dst = np.r_[b, a]
+    ww = np.r_[w, w]
+    # np.add.at, not bincount(weights=): the latter returns float64 and
+    # fixed-point exactness requires pure int64 arithmetic end to end
+    wsum = np.zeros(n, np.int64)
+    np.add.at(wsum, src, ww)
+    assert int(n) * PR_SCALE * int(ww.max()) < 2**62, "int64 headroom"
+    n_parts = n_parts_for_rows(len(src))
+
+    edges_tagged = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(src), pa.array(dst), pa.array(ww),
+         pa.array(wsum[src]), pa.array(np.full(len(src), -1, np.int64)),
+         pa.array((src % n_parts).astype(np.int32))],
+        names=["src", "dst", "w", "wsum", "p", "part"])).materialize()
+
+    labels = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(np.arange(n, dtype=np.int64)),
+         pa.array(np.full(n, PR_SCALE, np.int64))],
+        names=["node", "p"]))
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").cast(pa.int64()).combine_chunks()
+        z = pa.array(np.full(len(t), -1, np.int64))
+        return pa.Table.from_arrays(
+            [node, z, z, z, t.column("p").cast(pa.int64()),
+             pa.array((node.to_numpy() % n_parts).astype(np.int32))],
+            names=["src", "dst", "w", "wsum", "p", "part"])
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        is_lbl = df["dst"].to_numpy() < 0
+        lbl = df.loc[is_lbl, ["src", "p"]]
+        edg = df.loc[~is_lbl, ["src", "dst", "w", "wsum"]]
+        m = edg.merge(lbl, on="src", how="inner")
+        contrib = (m["p"].to_numpy(np.int64) * m["w"].to_numpy(np.int64)
+                   ) // m["wsum"].to_numpy(np.int64)
+        return pd.DataFrame({"node": m["dst"].to_numpy(np.int64),
+                             "contrib": contrib})
+
+    for _ in range(PR_ITERS):
+        labels = (edges_tagged
+                  .union(labels.map_batches(tag_labels,
+                                            batch_format="pyarrow"))
+                  .groupby("part").map_groups(emit, batch_format="pandas")
+                  .groupby("node")
+                  .aggregate(Sum("contrib", alias_name="s"))
+                  .map_batches(lambda t: pa.Table.from_arrays(
+                      [t.column("node"),
+                       pc.add(pa.scalar(PR_BASE, pa.int64()),
+                              pc.divide(pc.multiply(
+                                  t.column("s").cast(pa.int64()),
+                                  pa.scalar(PR_DAMP_NUM, pa.int64())),
+                                  pa.scalar(PR_DAMP_DEN, pa.int64())))],
+                      names=["node", "p"]), batch_format="pyarrow")
+                  .materialize())
+
+    lut = pa.array(uris)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [lut.take(t.column("node").cast(pa.int32())),
+             t.column("p").cast(pa.int64())],
+            names=["class_uri", "pagerank"])
+
+    return labels.map_batches(back, batch_format="pyarrow")
+
+
+def class_pagerank_sql() -> str:
+    base = f"""
+edges AS (SELECT class_a AS src, class_b AS dst, n_turns AS w FROM cooc
+          UNION ALL
+          SELECT class_b, class_a, n_turns FROM cooc),
+wdeg AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+p0 AS (SELECT src AS node, CAST({PR_SCALE} AS HUGEINT) AS p FROM wdeg)"""
+    its = []
+    for i in range(PR_ITERS):
+        its.append(f"""
+p{i + 1} AS (
+  SELECT e.dst AS node,
+         {PR_BASE} + {PR_DAMP_NUM} *
+           sum((p.p * CAST(e.w AS HUGEINT)) // CAST(d.wsum AS HUGEINT))
+           // {PR_DAMP_DEN} AS p
+  FROM edges e
+  JOIN p{i} p ON p.node = e.src
+  JOIN wdeg d ON d.src = e.src
+  GROUP BY e.dst)""")
+    return (f"WITH {_cooc_cte()}, {base},{','.join(its)}\n"
+            f"SELECT node AS class_uri, CAST(p AS BIGINT) AS pagerank "
+            f"FROM p{PR_ITERS}")
+
+
+_TRI_BUCKETS = 32
+
+
+def class_triangles(sf_dir: str):
+    """(class_uri, n_triangles) — exact triangle participation counts
+    via the forward algorithm: orient every edge low→high, generate
+    wedges only where the center precedes BOTH neighbors (each triangle
+    x<y<z then appears exactly once, centered at x), and keep wedges
+    whose (y, z) leg is itself an edge.  Wedge generation is the same
+    lexsort + ``pairs_in_runs`` kernel as pair induction; the membership
+    check is ``np.isin`` against the broadcast packed edge-key set (the
+    edge list is the documented class-dimension-sized small side).
+    Classes in no triangle are absent, matching the SQL twin."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .pairs import pairs_in_runs
+
+    uris, a, b, _w = _dense_edges(sf_dir)
+    if not len(a):
+        return _empty(["class_uri", "n_triangles"],
+                      [pa.string(), pa.int64()])
+    n = len(uris)
+    ekeys = ray.put(np.sort(a * n + b))  # a < b by construction
+    eds = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(a), pa.array(b),
+         pa.array((a % _TRI_BUCKETS).astype(np.int32))],
+        names=["a", "b", "part"]))
+
+    def wedge_check(df: pd.DataFrame) -> pd.DataFrame:
+        av = df["a"].to_numpy(np.int64)
+        bv = df["b"].to_numpy(np.int64)
+        order = np.lexsort((bv, av))
+        ia, ib = pairs_in_runs(av[order], None)
+        lo, hi = bv[order][ia], bv[order][ib]  # lo < hi within a run
+        hit = np.isin(lo * n + hi, ray.get(ekeys), assume_unique=False)
+        x = av[order][ia][hit]
+        verts = np.concatenate([x, lo[hit], hi[hit]])
+        if not len(verts):
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "c": np.empty(0, np.int64)})
+        cnt = np.bincount(verts, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"node": nz.astype(np.int64),
+                             "c": cnt[nz].astype(np.int64)})
+
+    lut = pa.array(uris)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [lut.take(t.column("node").cast(pa.int32())),
+             t.column("n_triangles").cast(pa.int64())],
+            names=["class_uri", "n_triangles"])
+
+    return (eds.groupby("part")
+            .map_groups(wedge_check, batch_format="pandas")
+            .groupby("node").aggregate(Sum("c", alias_name="n_triangles"))
+            .map_batches(back, batch_format="pyarrow"))
+
+
+def class_triangles_sql() -> str:
+    return f"""
+WITH {_cooc_cte()},
+e AS (SELECT class_a AS a, class_b AS b FROM cooc),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+verts AS (SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
+          UNION ALL SELECT z FROM tris)
+SELECT v AS class_uri, CAST(count(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY v
+"""
+
+
 def cooccur_components_sql() -> str:
     return f"""
 WITH RECURSIVE {_cooc_cte()},
@@ -183,10 +418,14 @@ SELECT node AS class_uri, min(r) AS component FROM reach GROUP BY node
 
 
 def register(q: dict, o: dict | None = None) -> None:
+    q["class_pagerank"] = class_pagerank
+    q["class_triangles"] = class_triangles
     q["class_cooccurrence"] = class_cooccurrence
     q["class_degree"] = class_degree
     q["cooccur_components"] = cooccur_components
     if o is not None:
+        o["class_pagerank"] = class_pagerank_sql()
+        o["class_triangles"] = class_triangles_sql()
         o["class_cooccurrence"] = class_cooccurrence_sql()
         o["class_degree"] = class_degree_sql()
         o["cooccur_components"] = cooccur_components_sql()

@@ -497,6 +497,7 @@ def _top_users(sf_dir: str):
 # round so every op gets driver-verified within two rounds.
 _GATE_PRIORITY = [
     # round-4 additions — newest first
+    "class_pagerank", "class_triangles",
     "class_cooccurrence", "class_degree", "cooccur_components",
     "inverted_index", "heavy_hitters", "annotations_nested",
     "media_features",

@@ -1378,3 +1378,61 @@ def test_cooccur_components_label_by_min_uri(ray_session):
     for comp, members in by_comp.items():
         assert comp == min(members)
         assert comp in members
+
+
+def test_class_pagerank_matches_naive_fixed_point(ray_session):
+    """The distributed 3-iteration fixed-point PageRank must equal a
+    pure-numpy single-process reimplementation of the same arithmetic
+    (per-edge floor of p*w//wsum, then BASE + 85*sum//100) exactly —
+    pins the exchange/merge plumbing against the spec."""
+    import numpy as np
+
+    from kgref.ops.kgraph import (PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM,
+                                  PR_ITERS, PR_SCALE, class_cooccurrence,
+                                  class_pagerank)
+
+    edges = class_cooccurrence(SF).take_all()
+    uris = sorted({r["class_a"] for r in edges}
+                  | {r["class_b"] for r in edges})
+    idx = {u: i for i, u in enumerate(uris)}
+    n = len(uris)
+    a = np.array([idx[r["class_a"]] for r in edges], np.int64)
+    b = np.array([idx[r["class_b"]] for r in edges], np.int64)
+    w = np.array([r["n_turns"] for r in edges], np.int64)
+    src, dst, ww = np.r_[a, b], np.r_[b, a], np.r_[w, w]
+    wsum = np.zeros(n, np.int64)
+    np.add.at(wsum, src, ww)
+    p = np.full(n, PR_SCALE, np.int64)
+    for _ in range(PR_ITERS):
+        contrib = (p[src] * ww) // wsum[src]
+        s = np.zeros(n, np.int64)
+        np.add.at(s, dst, contrib)
+        p = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    want = {u: int(p[i]) for u, i in idx.items()}
+
+    got = class_pagerank(SF).to_pandas()
+    assert len(got) == n
+    assert {r.class_uri: int(r.pagerank)
+            for r in got.itertuples()} == want
+
+
+def test_class_triangles_matches_bruteforce(ray_session):
+    """Forward-wedge triangle counts must equal brute-force enumeration
+    over the (small at sf0.001) co-occurrence edge set."""
+    from itertools import combinations
+
+    from kgref.ops.kgraph import class_cooccurrence, class_triangles
+
+    edges = class_cooccurrence(SF).take_all()
+    eset = {(r["class_a"], r["class_b"]) for r in edges}
+    nodes = sorted({x for e in eset for x in e})
+    want: dict[str, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in eset and (x, z) in eset and (y, z) in eset):
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+
+    got = class_triangles(SF).to_pandas()
+    assert {r.class_uri: int(r.n_triangles)
+            for r in got.itertuples()} == want
+    assert want  # non-degenerate: the fixture graph has triangles
