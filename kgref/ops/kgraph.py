@@ -417,15 +417,384 @@ SELECT node AS class_uri, min(r) AS component FROM reach GROUP BY node
 """
 
 
+BFS_MAX_HOPS = 4
+
+
+def class_bfs(sf_dir: str):
+    """(class_uri, dist) — exact min-hop distances (≤ ``BFS_MAX_HOPS``)
+    from the lexicographically smallest class URI over the symmetric
+    co-occurrence graph.  Same distributed iteration shape as
+    ``class_pagerank`` / ``ops.clusters.label_propagation``: the static
+    edge side is partitioned on ``src % n_parts`` and materialized ONCE;
+    per round the (node, dist) frontier table co-locates with it via one
+    grouped exchange, ONE pandas merge per coarse partition emits
+    (dst, dist+1) plus the pass-through of known distances, and a native
+    node-keyed ``Min`` groupby combines — old distances survive because
+    they are re-emitted, so the table is monotone non-increasing per
+    node.  Only the node-sized distance table moves per round.
+    Unreached classes are absent, matching the SQL twin (a bounded-depth
+    recursive CTE over (node, d) pairs)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .pairs import n_parts_for_rows
+
+    uris, a, b, _w = _dense_edges(sf_dir)
+    if not len(a):
+        return _empty(["class_uri", "dist"], [pa.string(), pa.int64()])
+    src = np.r_[a, b]
+    dst = np.r_[b, a]
+    n_parts = n_parts_for_rows(len(src))
+
+    edges_tagged = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(src), pa.array(dst),
+         pa.array(np.full(len(src), -1, np.int64)),
+         pa.array((src % n_parts).astype(np.int32))],
+        names=["src", "dst", "d", "part"])).materialize()
+
+    # seed: sorted enumeration makes node 0 == min URI
+    labels = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(np.zeros(1, np.int64)), pa.array(np.zeros(1, np.int64))],
+        names=["node", "d"]))
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").cast(pa.int64()).combine_chunks()
+        z = pa.array(np.full(len(t), -2, np.int64))
+        return pa.Table.from_arrays(
+            [node, z, t.column("d").cast(pa.int64()),
+             pa.array((node.to_numpy() % n_parts).astype(np.int32))],
+            names=["src", "dst", "d", "part"])
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        is_lbl = df["dst"].to_numpy() < 0
+        lbl = df.loc[is_lbl, ["src", "d"]]
+        edg = df.loc[~is_lbl, ["src", "dst"]]
+        m = edg.merge(lbl, on="src", how="inner")
+        return pd.DataFrame({
+            "node": np.concatenate([lbl["src"].to_numpy(np.int64),
+                                    m["dst"].to_numpy(np.int64)]),
+            "d": np.concatenate([lbl["d"].to_numpy(np.int64),
+                                 m["d"].to_numpy(np.int64) + 1])})
+
+    for _ in range(BFS_MAX_HOPS):
+        labels = (edges_tagged
+                  .union(labels.map_batches(tag_labels,
+                                            batch_format="pyarrow"))
+                  .groupby("part").map_groups(emit, batch_format="pandas")
+                  .groupby("node").aggregate(Min("d", alias_name="d"))
+                  .materialize())
+
+    lut = pa.array(uris)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [lut.take(t.column("node").cast(pa.int32())),
+             t.column("d").cast(pa.int64())],
+            names=["class_uri", "dist"])
+
+    return labels.map_batches(back, batch_format="pyarrow")
+
+
+def class_bfs_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cooc_cte()},
+edges AS (SELECT class_a AS a, class_b AS b FROM cooc
+          UNION SELECT class_b, class_a FROM cooc),
+reach(node, d) AS (
+    SELECT (SELECT min(a) FROM edges), 0
+    UNION
+    SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
+    WHERE r.d < {BFS_MAX_HOPS}
+)
+SELECT node AS class_uri, CAST(min(d) AS BIGINT) AS dist
+FROM reach GROUP BY node
+"""
+
+
+_JAC_BUCKETS = 32
+
+
+def class_jaccard(sf_dir: str):
+    """(class_a, class_b, common, jaccard_ppm) — neighborhood-overlap
+    link prediction: for every class pair sharing ≥1 co-occurrence
+    neighbor, the common-neighbor count and the Jaccard similarity of
+    their neighbor SETS in exact parts-per-million integer arithmetic
+    (``1_000_000·common // (deg_a + deg_b − common)``, floor division
+    on both sides).  Wedge generation reuses the lexsort +
+    ``pairs_in_runs`` kernel per coarse partition keyed on the shared
+    neighbor; degrees come from one bincount over the (class-dimension-
+    sized, documented driver-side) dense edge list and ride into the
+    final map as a closure broadcast."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .pairs import pairs_in_runs
+
+    uris, a, b, _w = _dense_edges(sf_dir)
+    if not len(a):
+        return _empty(["class_a", "class_b", "common", "jaccard_ppm"],
+                      [pa.string(), pa.string(), pa.int64(), pa.int64()])
+    n = len(uris)
+    center = np.r_[a, b]
+    leaf = np.r_[b, a]
+    deg = np.bincount(center, minlength=n).astype(np.int64)
+    eds = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(center), pa.array(leaf),
+         pa.array((center % _JAC_BUCKETS).astype(np.int32))],
+        names=["z", "x", "part"]))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        zv = df["z"].to_numpy(np.int64)
+        xv = df["x"].to_numpy(np.int64)
+        order = np.lexsort((xv, zv))
+        ia, ib = pairs_in_runs(zv[order], None)  # exact: oracle-gated
+        lo, hi = xv[order][ia], xv[order][ib]    # lo < hi within a run
+        out = (pd.DataFrame({"a": lo, "b": hi})
+               .groupby(["a", "b"], sort=False).size()
+               .reset_index(name="c"))
+        return out
+
+    lut = pa.array(uris)
+
+    def finish(t: pa.Table) -> pa.Table:
+        av = t.column("a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bv = t.column("b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        common = t.column("common").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        union = deg[av] + deg[bv] - common  # ≥ common ≥ 1: no div-by-0
+        return pa.Table.from_arrays(
+            [lut.take(pa.array(av.astype(np.int32))),
+             lut.take(pa.array(bv.astype(np.int32))),
+             pa.array(common),
+             pa.array((1_000_000 * common) // union)],
+            names=["class_a", "class_b", "common", "jaccard_ppm"])
+
+    return (eds.groupby("part").map_groups(wedges, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Sum("c", alias_name="common"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def class_jaccard_sql() -> str:
+    return f"""
+WITH {_cooc_cte()},
+sym AS (SELECT class_a AS z, class_b AS x FROM cooc
+        UNION ALL SELECT class_b, class_a FROM cooc),
+common AS (
+  SELECT s1.x AS a, s2.x AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sym s1 JOIN sym s2 ON s1.z = s2.z AND s1.x < s2.x
+  GROUP BY s1.x, s2.x),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY z)
+SELECT c.a AS class_a, c.b AS class_b, c.common,
+       CAST((1000000 * c.common) // (da.d + db.d - c.common) AS BIGINT)
+         AS jaccard_ppm
+FROM common c
+JOIN deg da ON da.z = c.a
+JOIN deg db ON db.z = c.b
+"""
+
+
+def class_clustering(sf_dir: str):
+    """(class_uri, degree, n_triangles, cc_ppm) — local clustering
+    coefficient per class with degree ≥ 2, in exact ppm integer
+    arithmetic: ``1_000_000 · 2 · triangles // (deg · (deg − 1))``.
+    Degrees come from the dense edge list's bincount; triangle counts
+    from ``class_triangles`` (zero-triangle classes get 0).  The
+    combine step runs driver-side over class-dimension-sized tables —
+    the same documented small side as ``cooccur_components``."""
+    import ray.data as rd
+
+    uris, a, b, _w = _dense_edges(sf_dir)
+    if not len(a):
+        return _empty(["class_uri", "degree", "n_triangles", "cc_ppm"],
+                      [pa.string(), pa.int64(), pa.int64(), pa.int64()])
+    n = len(uris)
+    deg = np.bincount(np.r_[a, b], minlength=n).astype(np.int64)
+    tri = np.zeros(n, np.int64)
+    idx = {u: i for i, u in enumerate(uris)}
+    for r in class_triangles(sf_dir).take_all():
+        tri[idx[r["class_uri"]]] = r["n_triangles"]
+    keep = np.flatnonzero(deg >= 2)
+    cc = (1_000_000 * 2 * tri[keep]) // (deg[keep] * (deg[keep] - 1))
+    lut = pa.array(uris)
+    return rd.from_arrow(pa.Table.from_arrays(
+        [lut.take(pa.array(keep.astype(np.int32))),
+         pa.array(deg[keep]), pa.array(tri[keep]), pa.array(cc)],
+        names=["class_uri", "degree", "n_triangles", "cc_ppm"]))
+
+
+def class_clustering_sql() -> str:
+    return f"""
+WITH {_cooc_cte()},
+e AS (SELECT class_a AS a, class_b AS b FROM cooc),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY a),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+verts AS (SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
+          UNION ALL SELECT z FROM tris),
+tcnt AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM verts GROUP BY v)
+SELECT d.v AS class_uri, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CAST((1000000 * 2 * COALESCE(t.n_triangles, 0))
+            // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+WHERE d.degree >= 2
+"""
+
+
+_DOM_BUCKETS = 32
+
+
+def conv_dominant_class(sf_dir: str):
+    """(conv_id, dominant_class, n) — the most-frequent directly
+    annotated class per conversation (grouped mode), ties broken by
+    lexicographically smallest class URI.  Combiner pattern: per-batch
+    pandas (conv, class) partial counts, one native groupby Sum sized
+    by distinct (conv, class) combos, then a conv-bucket coarse
+    exchange whose per-group kernel is one vectorized
+    sort + drop_duplicates — never a pandas call per conversation."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.materialize import add_bucket_column
+
+    tri = _direct_triples(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["conv_id", "obj"], sort=False)
+                .size().reset_index(name="n"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["conv_id", "n", "obj"],
+                              ascending=[True, False, True], kind="stable")
+               .drop_duplicates("conv_id", keep="first"))
+        return out[["conv_id", "obj", "n"]].rename(
+            columns={"obj": "dominant_class"})
+
+    return (tri.map_batches(partial, batch_format="pandas")
+            .groupby(["conv_id", "obj"]).aggregate(Sum("n", alias_name="n"))
+            .map_batches(
+                lambda b: add_bucket_column(b, _DOM_BUCKETS),
+                batch_format="pyarrow")
+            .groupby("bucket").map_groups(pick, batch_format="pandas"))
+
+
+def conv_dominant_class_sql() -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}),
+d AS (SELECT conv_id, obj, CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE pred = 'annotated_with' GROUP BY conv_id, obj),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY conv_id ORDER BY n DESC, obj ASC) AS rn FROM d)
+SELECT conv_id, obj AS dominant_class, n FROM r WHERE rn = 1
+"""
+
+
+_TURNS_PER_CONV = 16  # documents_as_transcripts default
+
+
+def class_by_lang(sf_dir: str):
+    """(class_uri, lang, n) — annotation counts per (class, source
+    language): the provenance-enrichment join a KG build runs to attach
+    source metadata to extracted triples.  Demonstrates the NATIVE
+    big×big hash join (``Dataset.join``, Ray ≥ 2.46): the triple side
+    recovers its doc_id arithmetically (conv/turn derive from doc_id —
+    sources/transcripts.py), the metadata side is a 2-column pruned
+    read, and the join shuffles on the int64 doc key.  Counts use the
+    combiner pattern so the second exchange moves one row per
+    (class, lang) per batch.
+
+    The keyed 2-int/uri projection is CHECKPOINTED (materialize)
+    before the join: Ray 2.49's hash-shuffle join spawns aggregator
+    actors, and fusing them into the same streaming plan as the
+    annotate actor pool deadlocks under tight CPU budgets (observed
+    at num_cpus=4 — both pools wait on each other's reservation).
+    That matches production shape anyway: the enrichment join runs
+    over the *persisted* annotation output (the flagship already
+    sinks triples to partitioned Parquet), never fused to the
+    extraction actors; the checkpoint is triple-count-sized rows of
+    (int64, dict-encoded uri), not corpus text."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tri = _direct_triples(sf_dir)
+
+    def to_keyed(t: pa.Table) -> pa.Table:
+        conv = pc.utf8_slice_codeunits(
+            t.column("conv_id").cast(pa.string()), 5, 2**31 - 1)
+        doc_id = pc.add(
+            pc.multiply(pc.cast(conv, pa.int64()),
+                        pa.scalar(_TURNS_PER_CONV, pa.int64())),
+            t.column("turn_idx").cast(pa.int64()))
+        return pa.Table.from_arrays([doc_id, t.column("obj")],
+                                    names=["doc_id", "obj"])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    keyed = (tri.map_batches(to_keyed, batch_format="pyarrow")
+             .materialize())  # checkpoint: see docstring
+    joined = keyed.join(docs, join_type="inner", num_partitions=16,
+                        on=("doc_id",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["obj", "lang"], sort=False)
+                .size().reset_index(name="n"))
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .groupby(["obj", "lang"]).aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda t: t.rename_columns(
+                ["class_uri", "lang", "n"]), batch_format="pyarrow"))
+
+
+def class_by_lang_sql() -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}),
+keyed AS (
+  SELECT CAST(substr(conv_id, 6) AS BIGINT) * {_TURNS_PER_CONV}
+           + turn_idx AS doc_id,
+         obj
+  FROM tri WHERE pred = 'annotated_with')
+SELECT k.obj AS class_uri, d.lang, CAST(count(*) AS BIGINT) AS n
+FROM keyed k JOIN documents d ON d.doc_id = k.doc_id
+GROUP BY k.obj, d.lang
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_pagerank"] = class_pagerank
     q["class_triangles"] = class_triangles
     q["class_cooccurrence"] = class_cooccurrence
     q["class_degree"] = class_degree
     q["cooccur_components"] = cooccur_components
+    q["class_bfs"] = class_bfs
+    q["class_jaccard"] = class_jaccard
+    q["class_clustering"] = class_clustering
+    q["conv_dominant_class"] = conv_dominant_class
+    q["class_by_lang"] = class_by_lang
     if o is not None:
         o["class_pagerank"] = class_pagerank_sql()
         o["class_triangles"] = class_triangles_sql()
         o["class_cooccurrence"] = class_cooccurrence_sql()
         o["class_degree"] = class_degree_sql()
         o["cooccur_components"] = cooccur_components_sql()
+        o["class_bfs"] = class_bfs_sql()
+        o["class_jaccard"] = class_jaccard_sql()
+        o["class_clustering"] = class_clustering_sql()
+        o["conv_dominant_class"] = conv_dominant_class_sql()
+        o["class_by_lang"] = class_by_lang_sql()

@@ -197,11 +197,102 @@ def length_rank_sql() -> str:
             " FROM documents")
 
 
+RANGE_PARTS = 8
+
+
+def range_partition(sf_dir: str):
+    """(partition_id, n_docs, min_len, max_len) — balanced RANGE
+    partitioning by exact histogram quantile boundaries: the planning
+    step a 100-TB distributed sort runs before moving any data.
+
+    Boundary ``B_i`` (i = 1..P−1) is the smallest value whose cumulative
+    count satisfies ``cum·P ≥ i·n`` (pure integer comparison — no float
+    quantile in sight), computed from the same value_counts-combiner
+    histogram as ``length_quantiles`` (KB-sized exchange regardless of
+    corpus size).  ``partition_id(x) = #{i : B_i ≤ x}`` — one
+    ``np.searchsorted`` per batch against the broadcast 7-value boundary
+    array; equal keys always land in one partition.  The output is the
+    per-partition audit (count, min, max) a planner uses to validate
+    balance before launching the actual exchange.  SQL twin reproduces
+    the boundary rule with a window cumsum and the same integer
+    predicate."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n_chars").combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["v", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("c", alias_name="c")).take_all())
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cs = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cs = vs[order], cs[order]
+    cum = np.cumsum(cs)
+    n = int(cum[-1]) if len(cum) else 0
+    bounds = (np.empty(0, np.int64) if n == 0 else np.array(
+        [vs[np.searchsorted(cum * RANGE_PARTS, i * n, side="left")]
+         for i in range(1, RANGE_PARTS)], dtype=np.int64))
+    ref = ray.put(bounds)
+
+    class Assign:
+        def __init__(self, ref):
+            self.bounds = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = batch.column("n_chars").to_numpy()
+            pid = np.searchsorted(self.bounds, x, side="right")
+            return pa.Table.from_arrays(
+                [pa.array(pid.astype(np.int64)),
+                 batch.column("n_chars").cast(pa.int64())],
+                names=["partition_id", "len"])
+
+    from .pairs import default_pool_size
+
+    return (ds.map_batches(Assign, fn_constructor_args=(ref,),
+                           batch_format="pyarrow",
+                           concurrency=default_pool_size())
+            .groupby("partition_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Min("len", alias_name="min_len"),
+                       Max("len", alias_name="max_len")))
+
+
+def range_partition_sql() -> str:
+    p = RANGE_PARTS
+    return f"""
+WITH hist AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY n_chars),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+bounds AS (
+  SELECT i, (SELECT min(v) FROM cum, tot WHERE cum * {p} >= i * n) AS bv
+  FROM (SELECT unnest(range(1, {p})) AS i)),
+pid AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bounds b
+          WHERE b.bv <= d.n_chars) AS partition_id,
+         CAST(d.n_chars AS BIGINT) AS len
+  FROM documents d)
+SELECT partition_id, CAST(count(*) AS BIGINT) AS n_docs,
+       min(len) AS min_len, max(len) AS max_len
+FROM pid GROUP BY partition_id
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["length_quantiles"] = length_quantiles
     q["length_quantiles_by_lang"] = length_quantiles_by_lang
     q["length_rank"] = length_rank
+    q["range_partition"] = range_partition
     if o is not None:
         o["length_quantiles"] = length_quantiles_sql()
         o["length_quantiles_by_lang"] = length_quantiles_by_lang_sql()
         o["length_rank"] = length_rank_sql()
+        o["range_partition"] = range_partition_sql()

@@ -1436,3 +1436,160 @@ def test_class_triangles_matches_bruteforce(ray_session):
     assert {r.class_uri: int(r.n_triangles)
             for r in got.itertuples()} == want
     assert want  # non-degenerate: the fixture graph has triangles
+
+
+def test_class_bfs_matches_bruteforce(ray_session):
+    """Distributed bounded-hop BFS must equal a driver-side BFS over
+    the same co-occurrence edges from the lexicographically smallest
+    URI, capped at BFS_MAX_HOPS."""
+    from collections import deque
+
+    from kgref.ops.kgraph import (BFS_MAX_HOPS, class_bfs,
+                                  class_cooccurrence)
+
+    edges = class_cooccurrence(SF).take_all()
+    adj: dict[str, set[str]] = {}
+    for r in edges:
+        adj.setdefault(r["class_a"], set()).add(r["class_b"])
+        adj.setdefault(r["class_b"], set()).add(r["class_a"])
+    seed = min(adj)
+    want = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        if want[u] >= BFS_MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+
+    got = class_bfs(SF).to_pandas()
+    assert {r.class_uri: int(r.dist) for r in got.itertuples()} == want
+    assert want[seed] == 0 and len(want) > 1
+
+
+def test_class_jaccard_matches_bruteforce(ray_session):
+    """Common-neighbor counts and integer ppm Jaccard must equal the
+    set-arithmetic brute force over neighbor sets."""
+    from itertools import combinations
+
+    from kgref.ops.kgraph import class_cooccurrence, class_jaccard
+
+    edges = class_cooccurrence(SF).take_all()
+    adj: dict[str, set[str]] = {}
+    for r in edges:
+        adj.setdefault(r["class_a"], set()).add(r["class_b"])
+        adj.setdefault(r["class_b"], set()).add(r["class_a"])
+    want = {}
+    for x, y in combinations(sorted(adj), 2):
+        common = len(adj[x] & adj[y])
+        if common:
+            union = len(adj[x] | adj[y])
+            want[(x, y)] = (common, (1_000_000 * common) // union)
+
+    got = class_jaccard(SF).to_pandas()
+    assert {(r.class_a, r.class_b): (int(r.common), int(r.jaccard_ppm))
+            for r in got.itertuples()} == want
+    assert want  # non-degenerate
+
+
+def test_class_clustering_matches_bruteforce(ray_session):
+    """cc_ppm must equal 10^6·2·triangles // (deg·(deg−1)) computed
+    from brute-force triangle enumeration, for every class of
+    degree ≥ 2 (and only those)."""
+    from itertools import combinations
+
+    from kgref.ops.kgraph import class_clustering, class_cooccurrence
+
+    edges = class_cooccurrence(SF).take_all()
+    eset = {(r["class_a"], r["class_b"]) for r in edges}
+    adj: dict[str, set[str]] = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri: dict[str, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if ((x, y) in eset and (x, z) in eset and (y, z) in eset):
+            for v in (x, y, z):
+                tri[v] = tri.get(v, 0) + 1
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d >= 2:
+            t = tri.get(v, 0)
+            want[v] = (d, t, (1_000_000 * 2 * t) // (d * (d - 1)))
+
+    got = class_clustering(SF).to_pandas()
+    assert {r.class_uri: (int(r.degree), int(r.n_triangles),
+                          int(r.cc_ppm))
+            for r in got.itertuples()} == want
+
+
+def test_conv_dominant_class_matches_pandas(ray_session):
+    """Grouped mode with (count desc, uri asc) tie-break must match a
+    driver-side pandas recomputation over the same triples."""
+    from kgref.ops.kgraph import _direct_triples, conv_dominant_class
+
+    tri = _direct_triples(SF).to_pandas()
+    counts = (tri.groupby(["conv_id", "obj"]).size().reset_index(name="n")
+              .sort_values(["conv_id", "n", "obj"],
+                           ascending=[True, False, True], kind="stable")
+              .drop_duplicates("conv_id", keep="first"))
+    want = {r.conv_id: (r.obj, int(r.n)) for r in counts.itertuples()}
+
+    got = conv_dominant_class(SF).to_pandas()
+    assert {r.conv_id: (r.dominant_class, int(r.n))
+            for r in got.itertuples()} == want
+    assert len(want) > 1
+
+
+def test_range_partition_matches_spec(ray_session):
+    """Partition boundaries and per-partition stats must equal the
+    integer-predicate spec (B_i = min v with cum·P ≥ i·n) applied
+    driver-side; every doc lands in exactly one partition and equal
+    keys never straddle a boundary."""
+    from kgref.ops.quantiles import RANGE_PARTS, range_partition
+
+    lens = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["n_chars"])["n_chars"].to_numpy()
+    vs, cs = np.unique(lens, return_counts=True)
+    cum = np.cumsum(cs)
+    n = int(cum[-1])
+    bounds = np.array(
+        [vs[np.searchsorted(cum * RANGE_PARTS, i * n, side="left")]
+         for i in range(1, RANGE_PARTS)])
+    pid = np.searchsorted(bounds, lens, side="right")
+    want = {}
+    for p in np.unique(pid):
+        sel = lens[pid == p]
+        want[int(p)] = (len(sel), int(sel.min()), int(sel.max()))
+
+    got = range_partition(SF).to_pandas()
+    assert {int(r.partition_id): (int(r.n_docs), int(r.min_len),
+                                  int(r.max_len))
+            for r in got.itertuples()} == want
+    assert sum(v[0] for v in want.values()) == n
+    # ranges are disjoint and ordered
+    rows = sorted(want.items())
+    for (p1, (_, _, hi)), (p2, (_, lo, _)) in zip(rows, rows[1:]):
+        assert hi <= lo
+
+
+def test_class_by_lang_matches_pandas_join(ray_session):
+    """The native-join enrichment must equal a driver-side merge of
+    the triples (doc_id recovered arithmetically) with documents."""
+    from kgref.ops.kgraph import _TURNS_PER_CONV, _direct_triples, class_by_lang
+
+    tri = _direct_triples(SF).to_pandas()
+    tri["doc_id"] = (tri["conv_id"].str[5:].astype(np.int64)
+                     * _TURNS_PER_CONV + tri["turn_idx"])
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    m = tri.merge(docs, on="doc_id", how="inner")
+    want = (m.groupby(["obj", "lang"]).size().to_dict())
+
+    got = class_by_lang(SF).to_pandas()
+    assert {(r.class_uri, r.lang): int(r.n)
+            for r in got.itertuples()} == want
+    assert len(got) and got["lang"].nunique() > 1
