@@ -17,6 +17,13 @@ subprocesses (num_cpus=8 then 32) on the same input and reports both
 throughputs plus efficiency = T8 / (4 * T32) — the sandbox stand-in for
 the north_rule's N→4N cluster-size criterion (SURVEY.md §4).
 
+``--colocate`` is the companion control: solo 8-CPU leg, FOUR
+concurrent 8-CPU legs (same hardware occupancy as one 32-CPU job,
+zero cross-job coordination), solo 32-CPU leg.  It decomposes the
+single-node 8→32 ratio into framework coordination cost (kept on a
+real cluster) vs shared-memory-bus co-residency cost (removed by 4
+real nodes); see BASELINE.md "co-residency control".
+
 The annotate headline replicates the documents-as-transcripts input
 REPLICATE× (deterministic conv_id prefixes) so wall time is dominated by
 pipeline compute, not session startup; reported turns/sec is measured
@@ -186,8 +193,11 @@ def bench_query(fn, sf_dir: str) -> dict:
 def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     import ray
 
+    obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR",
+             object_store_memory=(int(float(obj_gb) * 2**30)
+                                  if obj_gb else None))
     try:
         queries: dict[str, dict] = {}
         ann = bench_annotate(sf_dir, num_cpus)
@@ -383,9 +393,88 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_colocate(sf_dir: str) -> dict:
+    """Co-residency control for the N→4N-NODE criterion on a ONE-node
+    sandbox.  The single-node 8→32-CPU ratio confounds two different
+    losses: (a) framework coordination cost of pooling 4× the workers
+    under one driver — a loss a real cluster KEEPS — and (b) sharing
+    one node's memory bus / L3 / object store between 4× the compute —
+    a loss a real 4-node cluster REMOVES (each node brings its own
+    bus).  Three measurements in one load window separate them:
+
+      solo8   — one 8-CPU job, rest of the node idle (per-node rate a
+                real cluster would see on every node);
+      quad8   — FOUR concurrent 8-CPU jobs, fresh processes, same
+                input (the same hardware occupancy as one 32-CPU job,
+                but with zero cross-job Ray coordination);
+      solo32  — one 32-CPU job.
+
+    framework_ratio = solo32 / aggregate(quad8): <1 means the pooled
+    job pays coordination cost on identical hardware occupancy — the
+    only component a multi-node run keeps.  colocate_penalty =
+    aggregate(quad8) / (4·solo8): the pure hardware-sharing cost that
+    vanishes when the four jobs live on four nodes.  Implied 4-node
+    efficiency = framework_ratio (hardware term → 1 across nodes)."""
+    _settle()
+    pre_solo8 = _loadavg1()
+    r8 = _one_trial(sf_dir, 8)
+
+    _settle()
+    pre_quad = _loadavg1()
+    env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=sf_dir,
+               GRAFT_BENCH_REP=str(SCALING_REP), KGREF_BENCH_STAGE="annotate",
+               # 4 concurrent local Ray sessions: cap each object store so
+               # the default (30% of host RAM each) cannot over-commit shm
+               GRAFT_OBJ_STORE_GB="8")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--headline-json"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+        for _ in range(4)]
+    t0 = time.time()
+    quad = []
+    for p in procs:
+        out, err = p.communicate()
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(f"colocate child rc={p.returncode}; "
+                               f"stderr tail:\n{err[-2000:]}")
+        quad.append(json.loads(lines[-1]))
+    quad_wall = time.time() - t0
+    rates = [q["annotate_turns_per_sec"] for q in quad]
+    agg = sum(rates)
+
+    _settle()
+    r32 = _one_trial(sf_dir, 32)
+
+    framework = r32["annotate_turns_per_sec"] / agg
+    colocate = agg / (4 * r8["annotate_turns_per_sec"])
+    return {
+        "metric": "colocate_control_8x4_vs_32",
+        "value": round(framework, 3),
+        "unit": "ratio",
+        "solo8_turns_per_sec": r8["annotate_turns_per_sec"],
+        "quad8_turns_per_sec_each": [round(r, 1) for r in rates],
+        "quad8_aggregate_turns_per_sec": round(agg, 1),
+        "quad8_wall_sec": round(quad_wall, 3),
+        "solo32_turns_per_sec": r32["annotate_turns_per_sec"],
+        "framework_ratio_solo32_over_quad8": round(framework, 3),
+        "colocate_penalty_quad8_over_4xsolo8": round(colocate, 3),
+        "single_node_8_to_32_efficiency": round(
+            r32["annotate_turns_per_sec"]
+            / (4 * r8["annotate_turns_per_sec"]), 3),
+        "pre_load": {"solo8": pre_solo8, "quad8": pre_quad,
+                     "solo32": r32["pre_load"]},
+        "scaling_rep": SCALING_REP,
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+    elif "--colocate" in sys.argv:
+        print(json.dumps(run_colocate(SF_DIR)))
     elif "--headline-json" in sys.argv:
         print(json.dumps(run_suite(SF_DIR, NUM_CPUS, headline_only=True)))
     elif "--once" in sys.argv:
