@@ -8,6 +8,7 @@ from __future__ import annotations
 from . import (
     centroids,
     chunking,
+    closure,
     clusters,
     contamination,
     dedup,
@@ -35,7 +36,7 @@ from . import (
 _MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch, heavyhitters, invindex, kgraph)
+            sketch, heavyhitters, invindex, kgraph, closure)
 
 
 def register_queries(q: dict) -> None:

@@ -250,34 +250,67 @@ def build_dictionary(classes_path: str, out_dir: str,
         n_terms, n_labels = _build_labels_driver(
             exploded, out_dir, write_mgrep_tsv)
 
-    # is-a closure (D7): BFS to fixpoint, min distance per ancestor (A2)
+    # is-a closure (D7): min distance per (class, ancestor) (A2)
     parents_tbl = pq.read_table(classes_path, columns=["class_uri",
                                                        "parents"])
     parent_of = {u: list(p or []) for u, p in
                  zip(parents_tbl.column("class_uri").to_pylist(),
                      parents_tbl.column("parents").to_pylist())}
-    rows = []
-    for start in parent_of:
-        best: dict[str, int] = {}
-        frontier, dist = {start}, 0
-        while frontier and dist < 64:
-            dist += 1
-            nxt = set()
-            for n in frontier:
-                for p in parent_of.get(n, ()):
-                    if p not in best or dist < best[p]:
-                        best[p] = dist
-                        nxt.add(p)
-            frontier = nxt
-        rows.extend((start, anc, d) for anc, d in sorted(best.items()))
-    closure_tbl = pa.Table.from_arrays(
-        [pa.array([r[0] for r in rows], pa.string()),
-         pa.array([r[1] for r in rows], pa.string()),
-         pa.array([r[2] for r in rows], pa.int32())],
-        schema=ISA_CLOSURE,
-    )
-    pq.write_table(closure_tbl, os.path.join(out_dir, "isa_closure.parquet"))
+    clo_path = os.path.join(out_dir, "isa_closure.parquet")
+    if distributed:
+        # the closure TABLE is the quadratic-ish object (10^8-10^9 rows
+        # for a bushy 10^6-class ontology) — build and write it
+        # distributed; only the class-dimension enumeration stays on the
+        # driver (same documented small side as the label path above).
+        # Output is a directory of part files under the same name —
+        # pq.read_table handles file and directory alike, so
+        # DictionaryState.from_dir needs no change.
+        from ..ops.closure import transitive_closure
+
+        uris = sorted(set(parent_of)
+                      | {p for ps in parent_of.values() for p in ps})
+        idx = {u: i for i, u in enumerate(uris)}
+        child = [idx[u] for u, ps in parent_of.items() for _ in ps]
+        parent = [idx[p] for ps in parent_of.values() for p in ps]
+        clo_ds = transitive_closure(child, parent)
+        lut = pa.array(uris)
+
+        def back(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [lut.take(t.column("node").cast(pa.int32())),
+                 lut.take(t.column("anc").cast(pa.int32())),
+                 t.column("d").cast(pa.int32())],
+                schema=ISA_CLOSURE)
+
+        clo_ds = clo_ds.map_batches(back, batch_format="pyarrow")
+        n_closure = clo_ds.count()
+        if os.path.isfile(clo_path):
+            os.remove(clo_path)  # rebuild over an old single-file snapshot
+        clo_ds.write_parquet(clo_path)
+    else:
+        rows = []
+        for start in parent_of:
+            best: dict[str, int] = {}
+            frontier, dist = {start}, 0
+            while frontier and dist < 64:
+                dist += 1
+                nxt = set()
+                for n in frontier:
+                    for p in parent_of.get(n, ()):
+                        if p not in best or dist < best[p]:
+                            best[p] = dist
+                            nxt.add(p)
+                frontier = nxt
+            rows.extend((start, anc, d) for anc, d in sorted(best.items()))
+        closure_tbl = pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.string()),
+             pa.array([r[1] for r in rows], pa.string()),
+             pa.array([r[2] for r in rows], pa.int32())],
+            schema=ISA_CLOSURE,
+        )
+        n_closure = closure_tbl.num_rows
+        pq.write_table(closure_tbl, clo_path)
 
     return {"terms": n_terms, "labels": n_labels,
-            "closure": closure_tbl.num_rows,
+            "closure": n_closure,
             "path": "distributed" if distributed else "driver"}

@@ -83,6 +83,15 @@ def test_distributed_build_matches_driver_path(built, tmp_path):
     assert got.equals(want)
     assert (open(os.path.join(out2, "mgrep_dictionary.tsv")).read()
             == open(os.path.join(out, "mgrep_dictionary.tsv")).read())
+    # r4: the distributed closure (iterative relaxation, directory of
+    # part files) must equal the driver BFS row-for-row
+    ckey = lambda t: sorted(zip(t.column("class_uri").to_pylist(),
+                                t.column("ancestor_uri").to_pylist(),
+                                t.column("distance").to_pylist()))
+    wc = pq.read_table(os.path.join(out, "isa_closure.parquet"))
+    gc = pq.read_table(os.path.join(out2, "isa_closure.parquet"))
+    assert os.path.isdir(os.path.join(out2, "isa_closure.parquet"))
+    assert ckey(gc) == ckey(wc)
 
 
 def test_block_boundary_continuation_offsets():

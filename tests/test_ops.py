@@ -1593,3 +1593,52 @@ def test_class_by_lang_matches_pandas_join(ray_session):
     assert {(r.class_uri, r.lang): int(r.n)
             for r in got.itertuples()} == want
     assert len(got) and got["lang"].nunique() > 1
+
+
+def test_transitive_closure_deep_chain(ray_session):
+    """A depth-10 chain plus a diamond forces ~9 relaxation rounds and
+    a min-distance tie; the distributed closure must equal a driver BFS
+    on both, and converge by row-count fixpoint (not the round cap)."""
+    from kgref.ops.closure import transitive_closure
+
+    # chain 0→1→2→…→10; diamond 20→{21,22}→23 and a direct 20→23
+    child = np.array(list(range(10)) + [20, 20, 21, 22, 20], np.int64)
+    parent = np.array(list(range(1, 11)) + [21, 22, 23, 23, 23], np.int64)
+
+    adj: dict[int, list[int]] = {}
+    for c, p in zip(child, parent):
+        adj.setdefault(int(c), []).append(int(p))
+    want = {}
+    for start in set(child.tolist()):
+        frontier, dist = {start}, 0
+        while frontier:
+            dist += 1
+            nxt = set()
+            for n in frontier:
+                for p in adj.get(n, ()):
+                    if (start, p) not in want:
+                        want[(start, p)] = dist
+                        nxt.add(p)
+            frontier = nxt
+
+    got = transitive_closure(child, parent).to_pandas()
+    assert {(int(r.node), int(r.anc)): int(r.d)
+            for r in got.itertuples()} == want
+    # chain depth: node 0 reaches node 10 at distance 10
+    assert want[(0, 10)] == 10
+    # diamond min-distance: 20→23 direct edge wins over the 2-hop paths
+    assert want[(20, 23)] == 1
+
+
+def test_isa_closure_full_matches_docdict(ray_session):
+    """The distributed closure over the docdict parent edges must equal
+    the docdict driver BFS (the same table the annotate family
+    broadcasts)."""
+    from kgref.docdict import _closure
+    from kgref.ops.closure import isa_closure_full
+
+    want = {(a, b): d for a, b, d in _closure()}
+    got = isa_closure_full(SF).to_pandas()
+    assert {(r.class_uri, r.ancestor_uri): int(r.distance)
+            for r in got.itertuples()} == want
+    assert max(want.values()) >= 2  # multi-round: depth ≥ 2 exists
