@@ -776,6 +776,107 @@ GROUP BY k.obj, d.lang
 """
 
 
+def class_rollup(sf_dir: str):
+    """(class_uri, n_direct, n_rollup) — annotation counts per class,
+    both direct and ROLLED UP the is-a DAG (every annotation also
+    counts toward each ancestor, at any distance): the ontology-aware
+    aggregation a KG build runs to size concept subtrees.  Combiner
+    pattern: per-batch (class, n) partial counts → class-cardinality
+    native Sum; the rollup then EXPANDS each class's total through a
+    broadcast CSR of its ancestor set (docdict closure —
+    class-dimension-sized, the same table the annotate stage
+    broadcasts) with one np.repeat/take per batch, and a second
+    class-keyed Sum combines.  Only class-cardinality rows ever move.
+
+    Oracle: flat triples CTE joined to the closure VALUES + identity
+    union — DuckDB aggregates the same rollup independently."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..docdict import _closure, tables
+
+    tri = _direct_triples(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("obj").combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values").cast(pa.string()),
+             pc.cast(vc.field("counts"), pa.int64())],
+            names=["class_uri", "n"])
+
+    # materialized: class-cardinality-sized, consumed by BOTH the
+    # rollup expansion and the final union (without this the whole
+    # annotate lineage would re-execute once per consumer)
+    direct = (tri.map_batches(partial, batch_format="pyarrow")
+              .groupby("class_uri").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+
+    # broadcast CSR: class uri -> [itself + all ancestors]
+    # (class-dimension-sized — the documented driver small side; shipped
+    # once per task via ray.put, read inside the batch fn)
+    anc_of = {r["class_uri"]: [r["class_uri"]]
+              for r in tables()["classes"].to_pylist()}
+    for a, b, _d in _closure():
+        anc_of.setdefault(a, [a]).append(b)
+    ref = ray.put(anc_of)
+
+    def expand(t: pa.Table) -> pa.Table:
+        amap = ray.get(ref)
+        cls = t.column("class_uri").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = [amap.get(c, [c]) for c in cls]
+        counts = np.fromiter((len(x) for x in lists), np.int64,
+                             count=len(lists))
+        out_cls = [a for x in lists for a in x]
+        out_n = np.repeat(n, counts)
+        return pa.Table.from_arrays(
+            [pa.array(out_cls, pa.string()), pa.array(out_n)],
+            names=["class_uri", "n_rollup"])
+
+    rolled = (direct.map_batches(expand, batch_format="pyarrow")
+              .groupby("class_uri")
+              .aggregate(Sum("n_rollup", alias_name="n_rollup")))
+
+    def tag_d(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("class_uri"), t.column("n").cast(pa.int64()),
+             pa.array(np.zeros(len(t), np.int64))],
+            names=["class_uri", "n_direct", "n_rollup"])
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("class_uri"), pa.array(np.zeros(len(t), np.int64)),
+             t.column("n_rollup").cast(pa.int64())],
+            names=["class_uri", "n_direct", "n_rollup"])
+
+    return (direct.map_batches(tag_d, batch_format="pyarrow")
+            .union(rolled.map_batches(tag_r, batch_format="pyarrow"))
+            .groupby("class_uri")
+            .aggregate(Sum("n_direct", alias_name="n_direct"),
+                       Sum("n_rollup", alias_name="n_rollup")))
+
+
+def class_rollup_sql() -> str:
+    from ..docdict import sql_closure_cte
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}), {sql_closure_cte()},
+d AS (SELECT obj AS class_uri, CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE pred = 'annotated_with' GROUP BY obj),
+up AS (SELECT class_uri, class_uri AS anc FROM d
+       UNION ALL
+       SELECT c.class_uri, c.ancestor_uri FROM clo c
+       JOIN d ON d.class_uri = c.class_uri),
+r AS (SELECT u.anc AS class_uri, CAST(sum(d.n) AS BIGINT) AS n_rollup
+      FROM up u JOIN d ON d.class_uri = u.class_uri GROUP BY u.anc)
+SELECT r.class_uri, COALESCE(d.n, 0) AS n_direct, r.n_rollup
+FROM r LEFT JOIN d ON d.class_uri = r.class_uri
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_pagerank"] = class_pagerank
     q["class_triangles"] = class_triangles
@@ -787,6 +888,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_clustering"] = class_clustering
     q["conv_dominant_class"] = conv_dominant_class
     q["class_by_lang"] = class_by_lang
+    q["class_rollup"] = class_rollup
     if o is not None:
         o["class_pagerank"] = class_pagerank_sql()
         o["class_triangles"] = class_triangles_sql()
@@ -798,3 +900,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_clustering"] = class_clustering_sql()
         o["conv_dominant_class"] = conv_dominant_class_sql()
         o["class_by_lang"] = class_by_lang_sql()
+        o["class_rollup"] = class_rollup_sql()

@@ -1642,3 +1642,27 @@ def test_isa_closure_full_matches_docdict(ray_session):
     assert {(r.class_uri, r.ancestor_uri): int(r.distance)
             for r in got.itertuples()} == want
     assert max(want.values()) >= 2  # multi-round: depth ≥ 2 exists
+
+
+def test_class_rollup_matches_pandas(ray_session):
+    """Direct and up-the-DAG rolled-up annotation counts must match a
+    driver-side recomputation from the same triples + docdict closure."""
+    from kgref.docdict import _closure
+    from kgref.ops.kgraph import _direct_triples, class_rollup
+
+    tri = _direct_triples(SF).to_pandas()
+    direct = tri.groupby("obj").size().to_dict()
+    anc_of: dict[str, list[str]] = {}
+    for a, b, _d in _closure():
+        anc_of.setdefault(a, []).append(b)
+    roll: dict[str, int] = {}
+    for c, n in direct.items():
+        for t in [c] + anc_of.get(c, []):
+            roll[t] = roll.get(t, 0) + n
+
+    got = class_rollup(SF).to_pandas()
+    assert {r.class_uri: (int(r.n_direct), int(r.n_rollup))
+            for r in got.itertuples()} == {
+        t: (direct.get(t, 0), n) for t, n in roll.items()}
+    # non-degenerate: some ancestor has rollup > its direct count
+    assert any(n > direct.get(t, 0) for t, n in roll.items())
