@@ -110,7 +110,8 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
 
     import pyarrow.parquet as pq
 
-    out_dir = "/tmp/kgref_bench_out"
+    # unique per process: --colocate-full runs four of these concurrently
+    out_dir = f"/tmp/kgref_bench_out_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     batch, conc, blocks = _sized(sf_dir, REPLICATE, num_cpus)
     cfg = PipelineConfig(
@@ -143,6 +144,7 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
                                             unscored=not cfg.options.score)
         n_triples = metrics["rows"]
     wall = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
     return {"sec": round(wall, 3), "turns": n_turns,
             "triples": n_triples, "stage": stage,
             "turns_per_sec": round(n_turns / wall, 1)}
@@ -393,7 +395,8 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
-def run_colocate(sf_dir: str) -> dict:
+def run_colocate(sf_dir: str, stage: str = "annotate",
+                 rep: int = SCALING_REP) -> dict:
     """Co-residency control for the N→4N-NODE criterion on a ONE-node
     sandbox.  The single-node 8→32-CPU ratio confounds two different
     losses: (a) framework coordination cost of pooling 4× the workers
@@ -417,12 +420,12 @@ def run_colocate(sf_dir: str) -> dict:
     efficiency = framework_ratio (hardware term → 1 across nodes)."""
     _settle()
     pre_solo8 = _loadavg1()
-    r8 = _one_trial(sf_dir, 8)
+    r8 = _one_trial(sf_dir, 8, stage=stage, rep=rep)
 
     _settle()
     pre_quad = _loadavg1()
     env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=sf_dir,
-               GRAFT_BENCH_REP=str(SCALING_REP), KGREF_BENCH_STAGE="annotate",
+               GRAFT_BENCH_REP=str(rep), KGREF_BENCH_STAGE=stage,
                # 4 concurrent local Ray sessions: cap each object store so
                # the default (30% of host RAM each) cannot over-commit shm
                GRAFT_OBJ_STORE_GB="8")
@@ -445,12 +448,13 @@ def run_colocate(sf_dir: str) -> dict:
     agg = sum(rates)
 
     _settle()
-    r32 = _one_trial(sf_dir, 32)
+    r32 = _one_trial(sf_dir, 32, stage=stage, rep=rep)
 
     framework = r32["annotate_turns_per_sec"] / agg
     colocate = agg / (4 * r8["annotate_turns_per_sec"])
     return {
-        "metric": "colocate_control_8x4_vs_32",
+        "metric": f"colocate_control_8x4_vs_32_{stage}",
+        "stage": stage,
         "value": round(framework, 3),
         "unit": "ratio",
         "solo8_turns_per_sec": r8["annotate_turns_per_sec"],
@@ -465,7 +469,7 @@ def run_colocate(sf_dir: str) -> dict:
             / (4 * r8["annotate_turns_per_sec"]), 3),
         "pre_load": {"solo8": pre_solo8, "quad8": pre_quad,
                      "solo32": r32["pre_load"]},
-        "scaling_rep": SCALING_REP,
+        "scaling_rep": rep,
         "sf": sf_dir,
     }
 
@@ -473,6 +477,9 @@ def run_colocate(sf_dir: str) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+    elif "--colocate-full" in sys.argv:
+        print(json.dumps(run_colocate(SF_DIR, stage="full",
+                                      rep=SCALING_REP_FULL)))
     elif "--colocate" in sys.argv:
         print(json.dumps(run_colocate(SF_DIR)))
     elif "--headline-json" in sys.argv:
