@@ -1666,3 +1666,49 @@ def test_class_rollup_matches_pandas(ray_session):
         t: (direct.get(t, 0), n) for t, n in roll.items()}
     # non-degenerate: some ancestor has rollup > its direct count
     assert any(n > direct.get(t, 0) for t, n in roll.items())
+
+
+def test_transitive_closure_random_dag(ray_session):
+    """A 200-node random DAG (edges only point to higher ids, ~2.5
+    parents/node, depth well past the fixture's 3) must match the
+    driver BFS pair-for-pair — pins the distributed relaxation at a
+    closure size (~10^4 pairs) where multiple rounds genuinely
+    interleave with a quadratic-ish state table."""
+    from kgref.ops.closure import transitive_closure
+
+    n = 200
+    rng = np.random.default_rng(7)
+    child_l, parent_l = [], []
+    for c in range(n - 1):
+        k = int(rng.integers(1, 4))
+        ps = rng.integers(c + 1, n, size=k)
+        for p in set(ps.tolist()):
+            child_l.append(c)
+            parent_l.append(p)
+    child = np.array(child_l, np.int64)
+    parent = np.array(parent_l, np.int64)
+
+    adj: dict[int, set[int]] = {}
+    for c, p in zip(child_l, parent_l):
+        adj.setdefault(c, set()).add(p)
+    want: dict[tuple[int, int], int] = {}
+    for start in range(n):
+        frontier, dist = adj.get(start, set()), 1
+        seen = dict.fromkeys(frontier, 1)
+        while frontier:
+            dist += 1
+            nxt = set()
+            for u in frontier:
+                for p in adj.get(u, ()):
+                    if p not in seen:
+                        seen[p] = dist
+                        nxt.add(p)
+            frontier = nxt
+        for anc, d in seen.items():
+            want[(start, anc)] = d
+
+    got = transitive_closure(child, parent).to_pandas()
+    assert len(got) == len(want)
+    assert {(int(r.node), int(r.anc)): int(r.d)
+            for r in got.itertuples()} == want
+    assert max(want.values()) >= 5  # non-trivial depth reached
