@@ -514,7 +514,7 @@ _GATE_PRIORITY = [
     "length_rank", "chunk_docs", "longest_docs", "label_centroids",
     "embed_quantize", "lm_surprisal", "distinct_estimate",
     # ops touched this round or least-recently re-proven
-    "annotations_nested", "media_features", "media_manifest", "ann_topk",
+    "media_manifest", "ann_topk",
     "ann_topk_lsh", "ann_topk_ivf", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_edit_distance",
     "dedup_embedding", "normalize_docs", "sample_docs",
