@@ -877,6 +877,91 @@ FROM r LEFT JOIN d ON d.class_uri = r.class_uri
 """
 
 
+_LIFT_BUCKETS = 32
+
+
+def class_lift(sf_dir: str):
+    """(class_a, class_b, n_ab, lift_ppm) — association strength for
+    every co-occurrence edge, in exact parts-per-million integer
+    arithmetic: ``lift = P(a,b) / (P(a)·P(b))`` rendered as
+    ``10^6 · n_ab · T // (m_a · m_b)`` where ``n_ab`` = turns containing
+    both classes, ``m_x`` = turns containing x, and ``T`` = distinct
+    annotated turns — the edge-weighting a KG build uses to separate
+    genuine associations from popularity artifacts (lift < 10^6 means
+    the pair co-occurs LESS than independence predicts).
+
+    Marginals ride the same bucketed-distinct shape as the edge
+    builder: distinct (turn, class) per conv bucket (a bucket holds
+    whole conversations, so bucket-local dedup is globally exact),
+    per-batch partial counts, one class-cardinality Sum.  The final
+    map computes the ratio with PYTHON ints (the edge list is the
+    documented class-dimension-sized small side): 10^6·n_ab·T
+    overflows int64 once T approaches 10^12 turns, and the DuckDB twin
+    uses HUGEINT for the same reason."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.materialize import add_bucket_column
+
+    tri = _direct_triples(sf_dir).map_batches(
+        lambda b: add_bucket_column(
+            b.select(["conv_id", "turn_idx", "obj"]), _LIFT_BUCKETS),
+        batch_format="pyarrow")
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.drop_duplicates(["conv_id", "turn_idx", "obj"])
+        per_class = (sub.groupby("obj", sort=False).size()
+                     .reset_index(name="m"))
+        n_turns = len(sub.drop_duplicates(["conv_id", "turn_idx"]))
+        per_class.loc[len(per_class)] = ["\x00TOTAL", n_turns]
+        return per_class
+
+    marg_rows = (tri.groupby("bucket")
+                 .map_groups(distinct_pairs, batch_format="pandas")
+                 .groupby("obj").aggregate(Sum("m", alias_name="m"))
+                 .take_all())  # class-dimension-sized: documented small side
+    marg = {r["obj"]: int(r["m"]) for r in marg_rows}
+    total = marg.pop("\x00TOTAL")
+    ref = ray.put((marg, total))
+
+    edges = class_cooccurrence(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m, tot = ray.get(ref)
+        a = t.column("class_a").to_pylist()
+        b = t.column("class_b").to_pylist()
+        n = t.column("n_turns").to_pylist()
+        lift = [(1_000_000 * int(nab) * tot) // (m[x] * m[y])
+                for x, y, nab in zip(a, b, n)]  # python ints: no overflow
+        return pa.Table.from_arrays(
+            [t.column("class_a").cast(pa.string()),
+             t.column("class_b").cast(pa.string()),
+             pc.cast(t.column("n_turns"), pa.int64()),
+             pa.array(lift, pa.int64())],
+            names=["class_a", "class_b", "n_ab", "lift_ppm"])
+
+    return edges.map_batches(finish, batch_format="pyarrow")
+
+
+def class_lift_sql() -> str:
+    return f"""
+WITH {_cooc_cte()},
+tc AS (SELECT DISTINCT conv_id, turn_idx, obj FROM tri
+       WHERE pred = 'annotated_with'),
+marg AS (SELECT obj, CAST(count(*) AS HUGEINT) AS m FROM tc GROUP BY obj),
+tot AS (SELECT CAST(count(DISTINCT conv_id || '\x1f' ||
+                          CAST(turn_idx AS VARCHAR)) AS HUGEINT) AS t
+        FROM tc)
+SELECT c.class_a, c.class_b, c.n_turns AS n_ab,
+       CAST((1000000::HUGEINT * c.n_turns * tot.t) // (ma.m * mb.m)
+            AS BIGINT) AS lift_ppm
+FROM cooc c, tot
+JOIN marg ma ON ma.obj = c.class_a
+JOIN marg mb ON mb.obj = c.class_b
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_pagerank"] = class_pagerank
     q["class_triangles"] = class_triangles
@@ -889,6 +974,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["conv_dominant_class"] = conv_dominant_class
     q["class_by_lang"] = class_by_lang
     q["class_rollup"] = class_rollup
+    q["class_lift"] = class_lift
     if o is not None:
         o["class_pagerank"] = class_pagerank_sql()
         o["class_triangles"] = class_triangles_sql()
@@ -901,3 +987,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["conv_dominant_class"] = conv_dominant_class_sql()
         o["class_by_lang"] = class_by_lang_sql()
         o["class_rollup"] = class_rollup_sql()
+        o["class_lift"] = class_lift_sql()

@@ -1712,3 +1712,28 @@ def test_transitive_closure_random_dag(ray_session):
     assert {(int(r.node), int(r.anc)): int(r.d)
             for r in got.itertuples()} == want
     assert max(want.values()) >= 5  # non-trivial depth reached
+
+
+def test_class_lift_matches_bruteforce(ray_session):
+    """Exact integer lift must equal the set-arithmetic brute force:
+    10^6·|turns(a)∩turns(b)|·|turns| // (|turns(a)|·|turns(b)|)."""
+    from kgref.ops.kgraph import _direct_triples, class_lift
+
+    tri = _direct_triples(SF).to_pandas()
+    tri["turn"] = tri["conv_id"].astype(str) + "\x1f" + tri["turn_idx"].astype(str)
+    turns_of: dict[str, set[str]] = {}
+    for r in tri.itertuples():
+        turns_of.setdefault(r.obj, set()).add(r.turn)
+    total = len(set(tri["turn"]))
+    want = {}
+    from itertools import combinations
+    for x, y in combinations(sorted(turns_of), 2):
+        nab = len(turns_of[x] & turns_of[y])
+        if nab:
+            want[(x, y)] = (nab, (1_000_000 * nab * total)
+                            // (len(turns_of[x]) * len(turns_of[y])))
+
+    got = class_lift(SF).to_pandas()
+    assert {(r.class_a, r.class_b): (int(r.n_ab), int(r.lift_ppm))
+            for r in got.itertuples()} == want
+    assert want and any(v[1] < 1_000_000 for v in want.values())
