@@ -962,6 +962,89 @@ JOIN marg mb ON mb.obj = c.class_b
 """
 
 
+_DIS_BUCKETS = 32
+
+
+def disambiguate_spans(sf_dir: str):
+    """(conv_id, turn_idx, from_1b, to_1b, chosen_class, n_candidates,
+    votes) — coherence-based disambiguation of AMBIGUOUS spans: when
+    one surface maps to 2+ ontology classes (docdict plants "spark" →
+    DOC#Spark AND ALT#AltSpark), keep the candidate with the most
+    conversation-level support (its total direct-annotation count in
+    the same conversation — ambiguous mentions included, so the rule
+    is self-contained), ties broken by lexicographically smallest
+    class URI.  The step after entity linking in a KG build: local
+    candidates, document-level coherence vote.
+
+    Shape: ONE coarse exchange on the conv bucket (a bucket holds
+    whole conversations, so per-conv vote counts and span groups are
+    bucket-local and exact); per bucket one vectorized pandas pass —
+    a (conv, class) groupby for votes, a span-key transform('nunique')
+    to find ambiguity, one merge + sort + drop_duplicates to pick.
+    No per-span Python anywhere."""
+    import pandas as pd
+
+    from ..stages.materialize import add_bucket_column
+
+    tri = _direct_triples(sf_dir).map_batches(
+        lambda b: add_bucket_column(
+            b.select(["conv_id", "turn_idx", "from_1b", "to_1b", "obj"]),
+            _DIS_BUCKETS),
+        batch_format="pyarrow")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        votes = (df.groupby(["conv_id", "obj"], sort=False)
+                 .size().rename("votes").reset_index())
+        cand = df.drop_duplicates(
+            ["conv_id", "turn_idx", "from_1b", "to_1b", "obj"]).copy()
+        key = ["conv_id", "turn_idx", "from_1b", "to_1b"]
+        ncand = cand.groupby(key, sort=False)["obj"].transform("nunique")
+        amb = cand.loc[ncand.to_numpy() >= 2].merge(
+            votes, on=["conv_id", "obj"], how="left")
+        amb["n_candidates"] = amb.groupby(key, sort=False)["obj"].transform(
+            "size")
+        out = (amb.sort_values(key + ["votes", "obj"],
+                               ascending=[True] * 4 + [False, True],
+                               kind="stable")
+               .drop_duplicates(key, keep="first"))
+        out = out.rename(columns={"obj": "chosen_class"})
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        out["from_1b"] = out["from_1b"].astype("int64")
+        out["to_1b"] = out["to_1b"].astype("int64")
+        out["n_candidates"] = out["n_candidates"].astype("int64")
+        out["votes"] = out["votes"].astype("int64")
+        return out[key + ["chosen_class", "n_candidates", "votes"]]
+
+    return tri.groupby("bucket").map_groups(pick, batch_format="pandas")
+
+
+def disambiguate_spans_sql() -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}),
+d AS (SELECT DISTINCT conv_id, turn_idx, from_1b, to_1b, obj FROM tri
+      WHERE pred = 'annotated_with'),
+votes AS (SELECT conv_id, obj, CAST(count(*) AS BIGINT) AS votes
+          FROM tri WHERE pred = 'annotated_with' GROUP BY conv_id, obj),
+amb AS (
+  SELECT d.*, v.votes,
+         CAST(count(*) OVER (PARTITION BY d.conv_id, d.turn_idx,
+                             d.from_1b, d.to_1b) AS BIGINT)
+           AS n_candidates,
+         row_number() OVER (PARTITION BY d.conv_id, d.turn_idx,
+                            d.from_1b, d.to_1b
+                            ORDER BY v.votes DESC, d.obj ASC) AS rn
+  FROM d JOIN votes v ON v.conv_id = d.conv_id AND v.obj = d.obj)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(from_1b AS BIGINT) AS from_1b, CAST(to_1b AS BIGINT) AS to_1b,
+       obj AS chosen_class, n_candidates, votes
+FROM amb WHERE n_candidates >= 2 AND rn = 1
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_pagerank"] = class_pagerank
     q["class_triangles"] = class_triangles
@@ -975,6 +1058,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_by_lang"] = class_by_lang
     q["class_rollup"] = class_rollup
     q["class_lift"] = class_lift
+    q["disambiguate_spans"] = disambiguate_spans
     if o is not None:
         o["class_pagerank"] = class_pagerank_sql()
         o["class_triangles"] = class_triangles_sql()
@@ -988,3 +1072,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_by_lang"] = class_by_lang_sql()
         o["class_rollup"] = class_rollup_sql()
         o["class_lift"] = class_lift_sql()
+        o["disambiguate_spans"] = disambiguate_spans_sql()

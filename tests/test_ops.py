@@ -1737,3 +1737,32 @@ def test_class_lift_matches_bruteforce(ray_session):
     assert {(r.class_a, r.class_b): (int(r.n_ab), int(r.lift_ppm))
             for r in got.itertuples()} == want
     assert want and any(v[1] < 1_000_000 for v in want.values())
+
+
+def test_disambiguate_spans_matches_pandas(ray_session):
+    """Coherence vote (conv-level count desc, uri asc) must match a
+    driver-side recomputation; only spans with >= 2 candidate classes
+    appear, and the fixture's planted ambiguity ("spark" in DOC and
+    ALT) must be exercised."""
+    from kgref.ops.kgraph import _direct_triples, disambiguate_spans
+
+    tri = _direct_triples(SF).to_pandas()
+    votes = tri.groupby(["conv_id", "obj"]).size().to_dict()
+    key = ["conv_id", "turn_idx", "from_1b", "to_1b"]
+    cand = tri.drop_duplicates(key + ["obj"])
+    want = {}
+    for k, grp in cand.groupby(key):
+        objs = sorted(grp["obj"])
+        if len(objs) >= 2:
+            best = max(objs, key=lambda o: (votes[(k[0], o)],
+                                            [-ord(c) for c in o]))
+            want[k] = (best, len(objs), votes[(k[0], best)])
+
+    got = disambiguate_spans(SF).to_pandas()
+    gk = {(r.conv_id, int(r.turn_idx), int(r.from_1b), int(r.to_1b)):
+          (r.chosen_class, int(r.n_candidates), int(r.votes))
+          for r in got.itertuples()}
+    want = {(k[0], int(k[1]), int(k[2]), int(k[3])): v
+            for k, v in want.items()}
+    assert gk == want
+    assert want  # the planted DOC#Spark / ALT#AltSpark ambiguity fires
