@@ -1045,6 +1045,67 @@ FROM amb WHERE n_candidates >= 2 AND rn = 1
 """
 
 
+def entity_components(sf_dir: str):
+    """(class_uri, entity_id) — cross-ontology entity resolution: the
+    connected components of the inter-ontology MAPPING graph (classes
+    linked by mapped_to are the same real-world concept), each entity
+    labeled by its lexicographically smallest member URI.  The fixture
+    graph is non-trivial: DOC#Join and DOC#HashJoin both map to
+    ALT#Junction, so the three URIs form one 3-node entity.  Reuses the
+    distributed min-label propagation from ops/clusters (the same
+    machinery that resolves dup clusters and co-occurrence components);
+    the mapping edge list is class-dimension-sized — the documented
+    driver small side — and the sorted URI enumeration makes min-int
+    labels round-trip to min URIs exactly.  Classes with no mapping are
+    absent, matching the SQL twin (a recursive CTE over the symmetric
+    mapping edges)."""
+    import ray.data as rd
+
+    from ..docdict import tables
+    from .clusters import label_propagation
+
+    mp = tables()["mappings"]
+    src_uris = mp.column("class_uri").to_pylist()
+    dst_uris = mp.column("mapped_class_uri").to_pylist()
+    if not src_uris:
+        return _empty(["class_uri", "entity_id"],
+                      [pa.string(), pa.string()])
+    uris = sorted(set(src_uris) | set(dst_uris))
+    idx = {u: i for i, u in enumerate(uris)}
+    a = np.array([idx[u] for u in src_uris], np.int64)
+    b = np.array([idx[u] for u in dst_uris], np.int64)
+    eds = rd.from_arrow(pa.Table.from_arrays(
+        [pa.array(np.r_[a, b]), pa.array(np.r_[b, a])],
+        names=["node", "nbr"]))
+    comp = label_propagation(eds)
+    lut = pa.array(uris)
+
+    def back(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [lut.take(batch.column("doc_id").cast(pa.int32())),
+             lut.take(batch.column("cluster_id").cast(pa.int32()))],
+            names=["class_uri", "entity_id"])
+
+    return comp.map_batches(back, batch_format="pyarrow")
+
+
+def entity_components_sql() -> str:
+    from ..docdict import sql_mappings_cte
+
+    return f"""
+WITH RECURSIVE {sql_mappings_cte()},
+edges AS (SELECT class_uri AS a, mapped_class_uri AS b FROM map
+          UNION SELECT mapped_class_uri, class_uri FROM map),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+    WHERE r.r < e.b
+)
+SELECT node AS class_uri, min(r) AS entity_id FROM reach GROUP BY node
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_pagerank"] = class_pagerank
     q["class_triangles"] = class_triangles
@@ -1059,6 +1120,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_rollup"] = class_rollup
     q["class_lift"] = class_lift
     q["disambiguate_spans"] = disambiguate_spans
+    q["entity_components"] = entity_components
     if o is not None:
         o["class_pagerank"] = class_pagerank_sql()
         o["class_triangles"] = class_triangles_sql()
@@ -1073,3 +1135,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_rollup"] = class_rollup_sql()
         o["class_lift"] = class_lift_sql()
         o["disambiguate_spans"] = disambiguate_spans_sql()
+        o["entity_components"] = entity_components_sql()

@@ -498,7 +498,7 @@ def _top_users(sf_dir: str):
 _GATE_PRIORITY = [
     # round-4 additions — newest first
     "isa_closure_full", "class_rollup", "class_lift",
-    "disambiguate_spans", "class_bfs", "class_jaccard", "class_clustering",
+    "disambiguate_spans", "entity_components", "class_bfs", "class_jaccard", "class_clustering",
     "conv_dominant_class", "range_partition", "class_by_lang",
     "class_pagerank", "class_triangles",
     "class_cooccurrence", "class_degree", "cooccur_components",

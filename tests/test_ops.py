@@ -1766,3 +1766,35 @@ def test_disambiguate_spans_matches_pandas(ray_session):
             for k, v in want.items()}
     assert gk == want
     assert want  # the planted DOC#Spark / ALT#AltSpark ambiguity fires
+
+
+def test_entity_components_same_as_resolution(ray_session):
+    """Mapping-graph components must equal a driver union-find, labeled
+    by min URI; the fixture's shared target (Join and HashJoin both map
+    to ALT#Junction) must produce one 3-member entity."""
+    from kgref.docdict import tables
+    from kgref.ops.kgraph import entity_components
+
+    mp = tables()["mappings"]
+    edges = list(zip(mp.column("class_uri").to_pylist(),
+                     mp.column("mapped_class_uri").to_pylist()))
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict[str, str] = {}
+    for u in parent:
+        want[u] = find(u)
+
+    got = entity_components(SF).to_pandas()
+    assert {r.class_uri: r.entity_id for r in got.itertuples()} == want
+    sizes = got.groupby("entity_id").size()
+    assert sizes.max() >= 3  # the Join/HashJoin/Junction entity
