@@ -1798,3 +1798,47 @@ def test_entity_components_same_as_resolution(ray_session):
     assert {r.class_uri: r.entity_id for r in got.itertuples()} == want
     sizes = got.groupby("entity_id").size()
     assert sizes.max() >= 3  # the Join/HashJoin/Junction entity
+
+
+def test_transitive_closure_multi_seed_small_graphs(ray_session):
+    """Three deterministic seeds × 40-node sparse DAGs (including
+    disconnected nodes and multi-parent diamonds) must all match the
+    driver BFS — guards the relax kernel's empty-partition and
+    pass-through paths across graph shapes."""
+    from kgref.ops.closure import transitive_closure
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 40
+        child_l, parent_l = [], []
+        for c in range(n - 1):
+            if rng.random() < 0.3:  # leave ~30% of nodes parentless
+                continue
+            for p in set(rng.integers(c + 1, n, size=2).tolist()):
+                child_l.append(c)
+                parent_l.append(p)
+        if not child_l:
+            continue
+        adj: dict[int, set[int]] = {}
+        for c, p in zip(child_l, parent_l):
+            adj.setdefault(c, set()).add(p)
+        want: dict[tuple[int, int], int] = {}
+        for start in range(n):
+            frontier, dist = set(adj.get(start, ())), 1
+            seen = dict.fromkeys(frontier, 1)
+            while frontier:
+                dist += 1
+                nxt = set()
+                for u in frontier:
+                    for p in adj.get(u, ()):
+                        if p not in seen:
+                            seen[p] = dist
+                            nxt.add(p)
+                frontier = nxt
+            for anc, d in seen.items():
+                want[(start, anc)] = d
+        got = transitive_closure(
+            np.array(child_l, np.int64),
+            np.array(parent_l, np.int64)).to_pandas()
+        assert {(int(r.node), int(r.anc)): int(r.d)
+                for r in got.itertuples()} == want, f"seed {seed}"
