@@ -29,6 +29,7 @@ blue/green Redis instance flip (S3).
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -257,6 +258,15 @@ def build_dictionary(classes_path: str, out_dir: str,
                  zip(parents_tbl.column("class_uri").to_pylist(),
                      parents_tbl.column("parents").to_pylist())}
     clo_path = os.path.join(out_dir, "isa_closure.parquet")
+    # rebuild guard for BOTH paths and BOTH prior shapes: the driver path
+    # leaves a single FILE, the distributed path a DIRECTORY of part
+    # files, and Ray 2.49's write_parquet defaults to APPEND — rebuilding
+    # into a stale directory would silently duplicate closure rows, and a
+    # driver rebuild over a stale directory would crash at pq.write_table
+    if os.path.isdir(clo_path):
+        shutil.rmtree(clo_path, ignore_errors=True)
+    elif os.path.isfile(clo_path):
+        os.remove(clo_path)
     if distributed:
         # the closure TABLE is the quadratic-ish object (10^8-10^9 rows
         # for a bushy 10^6-class ontology) — build and write it
@@ -284,9 +294,7 @@ def build_dictionary(classes_path: str, out_dir: str,
 
         clo_ds = clo_ds.map_batches(back, batch_format="pyarrow")
         n_closure = clo_ds.count()
-        if os.path.isfile(clo_path):
-            os.remove(clo_path)  # rebuild over an old single-file snapshot
-        clo_ds.write_parquet(clo_path)
+        clo_ds.write_parquet(clo_path)  # prior snapshot cleared above
     else:
         rows = []
         for start in parent_of:

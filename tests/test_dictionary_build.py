@@ -94,6 +94,28 @@ def test_distributed_build_matches_driver_path(built, tmp_path):
     assert ckey(gc) == ckey(wc)
 
 
+def test_rebuild_any_direction_starts_clean(built, tmp_path):
+    """ADVICE r4 (medium): Ray 2.49 ``write_parquet`` APPENDs into an
+    existing directory by default, so a re-run into the same out_dir must
+    clear the prior closure snapshot whichever SHAPE it has: distributed
+    over distributed used to silently DOUBLE isa_closure rows, and a
+    driver rebuild over a distributed DIRECTORY used to crash at
+    pq.write_table."""
+    out, classes_path, driver_metrics = built
+    out2 = os.path.join(str(tmp_path), "re")
+    m1 = build_dictionary(classes_path, out2, force_distributed=True,
+                          num_output_blocks=7)
+    m2 = build_dictionary(classes_path, out2, force_distributed=True,
+                          num_output_blocks=7)  # dist over dist: no append
+    assert m1["closure"] == m2["closure"] == driver_metrics["closure"]
+    clo = os.path.join(out2, "isa_closure.parquet")
+    assert pq.read_table(clo).num_rows == driver_metrics["closure"]
+    m3 = build_dictionary(classes_path, out2)  # driver over dist DIRECTORY
+    assert m3["path"] == "driver"
+    assert os.path.isfile(clo)
+    assert pq.read_table(clo).num_rows == driver_metrics["closure"]
+
+
 def test_block_boundary_continuation_offsets():
     """Pure-function pin of the distributed id math: slice a sorted
     label table INSIDE term runs and check the summary→offset recursion
