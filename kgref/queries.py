@@ -488,42 +488,51 @@ def _top_users(sf_dir: str):
 # ---------------------------------------------------------------------------
 # Driver contract assembly
 
-# The driver's correctness gate checks the FIRST 50 registry entries
-# (CORRECTNESS_r03 stopped at events_rolling_1h), so registration order
-# is gate coverage.  Least-proven first: ops added this round, then the
-# previous round's additions (driver-unchecked in r3 — judge-verified
-# only), then a rotation of older ops; the 17-member annotate family —
-# hash-green in every round since r1 — fills the tail.  Rotate each
-# round so every op gets driver-verified within two rounds.
+# The driver's correctness gate checks the FIRST 50 registry entries,
+# so registration order is gate coverage.  Rotation policy (VERDICT r3
+# #2 / r4 Next #2): every query gets driver-re-verified within two
+# rounds.  Round-5 window = the 44 queries last driver-verified in r03
+# (the full annotate family plus the r1–r3 ops that fell off the r04
+# window) followed by the six ops most rewritten THIS round (kgraph
+# distributed edge prologue, heavy-hitters distributed candidate merge,
+# vectorized lift finish); the ops hash-verified by the r04 driver fill
+# the tail, least-recently-changed last.
 _GATE_PRIORITY = [
-    # round-4 additions — newest first
-    "isa_closure_full", "class_rollup", "class_lift",
-    "disambiguate_spans", "entity_components", "class_bfs", "class_jaccard", "class_clustering",
-    "conv_dominant_class", "range_partition", "class_by_lang",
-    "class_pagerank", "class_triangles",
-    "class_cooccurrence", "class_degree", "cooccur_components",
-    "inverted_index", "heavy_hitters", "annotations_nested",
-    "media_features",
-    # round-3 additions the r3 driver gate never saw (VERDICT r3 #2)
-    "events_user_pivot", "lineitem_pricing", "orders_by_segment",
-    "nation_orders_join", "orders_price_band", "customers_semi_big",
-    "customers_anti_big", "orders_rollup", "customer_big_order_counts",
+    # last driver-verified in r03 — the full annotate family first
+    "annotate_direct", "annotate_min_term", "annotate_stop_extra",
+    "annotate_nostop", "annotate_nosyn", "annotate_ont_filter",
+    "annotate_semtype", "annotate_hier2", "annotate_hier_full",
+    "annotate_mappings", "annotate_longest", "annotate_score_old",
+    "annotate_score_cvalue", "annotate_score_cvalueh", "annotate_subword",
+    "annotate_exclude_numbers", "annotate_with_numbers",
+    "conv_turns", "conv_triple_counts", "conv_subgraph",
+    "class_frequencies", "events_agg", "top_users",
+    # r1–r3 ops the r04 window didn't reach
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
+    "normalize_docs", "sample_docs", "sample_stratified",
+    "sample_per_lang", "token_stats", "quality_score", "lang_id",
+    "doc_fingerprint", "repetition_stats", "events_windowed",
+    "events_sessions", "events_window_funcs", "events_topn_per_user",
+    "events_asof_join", "events_rolling_1h",
+    # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
+    "heavy_hitters", "class_pagerank", "class_triangles",
+    "class_jaccard", "cooccur_components", "class_lift",
+    # --- window boundary (50) — everything below hash-PASSed in r04 ---
+    "class_bfs", "class_clustering", "class_by_lang",
+    "class_cooccurrence", "class_degree", "isa_closure_full",
+    "class_rollup", "disambiguate_spans", "entity_components",
+    "conv_dominant_class", "range_partition", "inverted_index",
+    "annotations_nested", "media_features", "events_user_pivot",
+    "lineitem_pricing", "orders_by_segment", "nation_orders_join",
+    "orders_price_band", "customers_semi_big", "customers_anti_big",
+    "orders_rollup", "customer_big_order_counts",
     "customers_anti_native", "vocab_topk", "pack_sequences",
     "contamination", "tfidf_top_terms", "redact_pii", "dedup_clusters",
     "dedup_apply", "length_quantiles", "length_quantiles_by_lang",
     "length_rank", "chunk_docs", "longest_docs", "label_centroids",
     "embed_quantize", "lm_surprisal", "distinct_estimate",
-    # ops touched this round or least-recently re-proven
-    "media_manifest", "ann_topk",
-    "ann_topk_lsh", "ann_topk_ivf", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_edit_distance",
-    "dedup_embedding", "normalize_docs", "sample_docs",
-    "sample_stratified", "sample_per_lang", "token_stats",
-    "quality_score", "lang_id", "doc_fingerprint", "repetition_stats",
-    "events_windowed", "events_sessions", "events_window_funcs",
-    "events_topn_per_user", "events_asof_join", "events_rolling_1h",
-    "conv_turns", "conv_triple_counts", "conv_subgraph",
-    "class_frequencies", "events_agg", "top_users",
+    "media_manifest", "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
 ]
 
 
