@@ -1842,3 +1842,92 @@ def test_transitive_closure_multi_seed_small_graphs(ray_session):
             np.array(parent_l, np.int64)).to_pandas()
         assert {(int(r.node), int(r.anc)): int(r.d)
                 for r in got.itertuples()} == want, f"seed {seed}"
+
+
+def test_kgraph_cores_on_forced_large_edge_sets(ray_session):
+    """r4 What's-wrong #1 done-criterion: the graph analytics must run
+    with edge count ≫ node count and without any driver-side edge
+    materialization — exercised through the int-edge seams
+    (_pagerank_nodes / _triangles_nodes / _bfs_nodes /
+    _components_nodes) over three random dense graphs (n=40,
+    density 0.4 → E ≈ 312 ≈ 8n), each checked against a pure-numpy
+    reimplementation of the same arithmetic."""
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgref.ops.kgraph import (BFS_MAX_HOPS, PR_BASE, PR_DAMP_DEN,
+                                  PR_DAMP_NUM, PR_ITERS, PR_SCALE,
+                                  _bfs_nodes, _components_nodes,
+                                  _pagerank_nodes, _triangles_nodes)
+
+    for seed in (7, 19, 42):
+        rng = np.random.default_rng(seed)
+        nn = 40
+        pairs = np.array(list(combinations(range(nn), 2)), np.int64)
+        keep = rng.random(len(pairs)) < 0.4
+        a, b = pairs[keep, 0], pairs[keep, 1]
+        w = rng.integers(1, 9, int(keep.sum())).astype(np.int64)
+        assert len(a) > 4 * nn  # edge count >> node count
+        eds = rd.from_arrow(pa.Table.from_arrays(
+            [pa.array(a), pa.array(b), pa.array(w)],
+            names=["a", "b", "w"])).repartition(8).materialize()
+
+        src, dst, ww = np.r_[a, b], np.r_[b, a], np.r_[w, w]
+        wsum = np.zeros(nn, np.int64)
+        np.add.at(wsum, src, ww)
+        assert (wsum > 0).all()  # no isolated nodes at this density
+
+        # --- pagerank
+        p = np.full(nn, PR_SCALE, np.int64)
+        for _ in range(PR_ITERS):
+            contrib = (p[src] * ww) // wsum[src]
+            s = np.zeros(nn, np.int64)
+            np.add.at(s, dst, contrib)
+            p = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        pdf = _pagerank_nodes(nn, eds).to_pandas()
+        got_pr = np.zeros(nn, np.int64)
+        got_pr[pdf["node"].to_numpy(np.int64)] = pdf["p"].to_numpy(np.int64)
+        assert (got_pr == p).all(), f"pagerank seed {seed}"
+
+        # --- triangles
+        eset = set(zip(a.tolist(), b.tolist()))
+        want_tri = np.zeros(nn, np.int64)
+        for x, y, z in combinations(range(nn), 3):
+            if ((x, y) in eset and (x, z) in eset and (y, z) in eset):
+                want_tri[[x, y, z]] += 1
+        tdf = _triangles_nodes(nn, eds).to_pandas()
+        got_tri = np.zeros(nn, np.int64)
+        np.add.at(got_tri, tdf["node"].to_numpy(np.int64),
+                  tdf["c"].to_numpy(np.int64))
+        assert (got_tri == want_tri).all(), f"triangles seed {seed}"
+
+        # --- bounded-hop BFS from node 0
+        INF = 10**9
+        dist = np.full(nn, INF, np.int64)
+        dist[0] = 0
+        for _ in range(BFS_MAX_HOPS):
+            nd = dist.copy()
+            np.minimum.at(nd, dst, dist[src] + 1)
+            dist = nd
+        bdf = _bfs_nodes(eds, seed=0).to_pandas()
+        got_d = np.full(nn, INF, np.int64)
+        got_d[bdf["node"].to_numpy(np.int64)] = bdf["d"].to_numpy(np.int64)
+        assert (got_d == dist).all(), f"bfs seed {seed}"
+
+        # --- components (min reachable label)
+        comp = np.arange(nn)
+        for _ in range(nn):
+            nc = comp.copy()
+            np.minimum.at(nc, dst, comp[src])
+            np.minimum.at(nc, src, comp[dst])
+            if (nc == comp).all():
+                break
+            comp = nc
+        cdf = _components_nodes(eds).to_pandas()
+        got_c = np.full(nn, -1, np.int64)
+        got_c[cdf["doc_id"].to_numpy(np.int64)] = (
+            cdf["cluster_id"].to_numpy(np.int64))
+        assert (got_c == comp).all(), f"components seed {seed}"
