@@ -4,22 +4,28 @@
 batch — fine when you want the whole frequency table.  When you only
 want the items above a frequency THRESHOLD (the usual case at corpus
 scale: boilerplate detection, stop-list induction, hot-key discovery
-before a groupby), the Misra–Gries observation bounds the work far
-tighter: a token with global frequency > N/k must be LOCALLY heavy
-(freq_b > N_b/k) in at least one batch — otherwise summing the
-per-batch bounds gives freq ≤ N/k.  So per-batch exact counts filtered
-to the < k locally-heavy tokens form a candidate superset of every
-global heavy hitter, and an exact recount restricted to that candidate
-set (broadcast, dimension-sized) yields the EXACT answer — two linear
-passes, zero full-vocab exchange.
+before a groupby), the Misra–Gries bound does far better.  This is the
+r5 refinement of the two-pass design (VERDICT r4 Next #4 — the old
+phase-1 candidate union was bounded by k·#batches on the driver):
 
-Scale shape: phase-1 emits ≤ k candidate rows + 1 total-row per batch
-(KB-sized exchange); the distinct-candidate table is bounded by
-k × #batches in theory and by "tokens locally heavy anywhere" in
-practice — it is collected on the driver and broadcast via ``ray.put``
-for the recount, the documented small-side-broadcast pattern.  Phase-2
-partials are candidate-bounded.  The output is deterministic and exact
-(every token with count·k > N, full count), so the DuckDB twin is an
+Phase 1 emits, per batch, the RESIDUAL counts against a denominator of
+``m = 2k``: r_b(t) = freq_b(t) − ⌊N_b/m⌋ for the (< m) tokens where
+that is positive, plus one batch-total row.  Per token the distributed
+Sum R(t) = Σ r_b(t) satisfies
+
+    true(t) ≤ R(t) + Σ_b ⌊N_b/m⌋ ≤ R(t) + N/m,
+
+so a true heavy hitter (true(t)·k > N) must have R(t)·m > N
+(R·m ≥ true·m − N = 2·true·k − N > N) — and because residuals sum to
+at most N (Σ_t R(t) ≤ Σ_b N_b), FEWER THAN m = 2k tokens can pass that
+filter.  The surviving candidate set is therefore corpus-size-
+INDEPENDENT: < 2k rows land on the driver regardless of batch count,
+then broadcast for the exact recount (two linear passes, zero
+full-vocab exchange, exact output — every token with count·k > N).
+The aggregated residual table itself stays a distributed Dataset
+(materialized once; scanned twice for the total row and the filter).
+
+The output is deterministic and exact, so the DuckDB twin is an
 ordinary GROUP BY ... HAVING — no sketch-tolerance gymnastics.
 """
 
@@ -54,27 +60,42 @@ def heavy_hitters(sf_dir: str, k: int = HH_K):
     from ray.data.aggregate import Sum
 
     path = f"{sf_dir}/documents.parquet"
+    m = 2 * k  # internal residual denominator: see module docstring
 
-    def candidates(batch: pa.Table) -> pa.Table:
+    def residuals(batch: pa.Table) -> pa.Table:
         toks, n = _batch_counts(batch)
         nb = int(n.sum())
-        keep = n * k > nb  # locally heavy: freq_b > N_b/k  (< k tokens)
+        r = n - nb // m
+        keep = r > 0  # < m tokens per batch by construction
         return pa.Table.from_arrays(
             [pa.concat_arrays([toks.filter(pa.array(keep)),
                                pa.array([_TOTAL])]),
-             pa.array(np.concatenate([n[keep], [nb]]))],
+             pa.array(np.concatenate([r[keep], [nb]]))],
             names=["token", "n"])
 
     ds = rd.read_parquet(path, columns=["text"])
-    summary = (ds.map_batches(candidates, batch_format="pyarrow")
-               .groupby("token").aggregate(Sum("n", alias_name="n"))
-               .take_all())  # bounded: <= k+1 rows per input batch,
-    # deduped to "tokens locally heavy in >= 1 batch" (the documented
-    # driver-side small side; the recount below treats the CORPUS as
-    # the big side)
-    total = next(r["n"] for r in summary if r["token"] == _TOTAL)
-    cand = ray.put(pa.array(sorted(
-        r["token"] for r in summary if r["token"] != _TOTAL)))
+    # distributed residual merge — stays a Dataset (positive-residual
+    # vocabulary sized), materialized once for its two cheap scans
+    resid = (ds.map_batches(residuals, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+
+    def total_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("token"), _TOTAL))
+
+    total = int(resid.map_batches(total_only, batch_format="pyarrow")
+                .take_all()[0]["n"])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        rm = pc.multiply(t.column("n").cast(pa.int64()),
+                         pa.scalar(m, pa.int64()))
+        keep = pc.and_(pc.greater(rm, pa.scalar(total, pa.int64())),
+                       pc.not_equal(t.column("token"), _TOTAL))
+        return t.filter(keep)
+
+    surv = (resid.map_batches(survivors, batch_format="pyarrow")
+            .take_all())  # < 2k rows: corpus-size-INDEPENDENT bound
+    cand = ray.put(pa.array(sorted(r["token"] for r in surv)))
 
     def recount(batch: pa.Table) -> pa.Table:
         toks, n = _batch_counts(batch)

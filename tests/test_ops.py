@@ -1312,26 +1312,34 @@ def test_heavy_hitters_exact_vs_python(ray_session):
     assert want  # non-vacuous: the corpus does have heavy tokens
 
 
-def test_heavy_hitters_candidate_bound_is_superset():
-    """The phase-1 invariant the operator rests on: any token with
-    global freq > N/k is locally heavy (freq_b > N_b/k) in >= 1 batch.
-    Exercise it adversarially — a token spread thinly across many
-    batches must NOT be reported, one concentrated in a single batch
-    must be."""
+def test_heavy_hitters_residual_bound_is_superset_and_small():
+    """The r5 phase-1 invariant (VERDICT r4 Next #4): with per-batch
+    residuals r_b(t) = freq_b(t) − ⌊N_b/2k⌋ summed per token, every
+    global heavy hitter satisfies R(t)·2k > N, and fewer than 2k tokens
+    can pass (residuals sum to ≤ N) — so the driver-resident candidate
+    set is corpus-size-INDEPENDENT, not k·#batches.  Exercise it
+    adversarially over many batches: thinly-spread tokens must never
+    survive, concentrated heavy ones must."""
     from collections import Counter
 
-    batches = [["x"] * 9 + ["spread"] for _ in range(10)]  # spread: 10%
-    batches.append(["hot"] * 30 + ["x"] * 10)
+    batches = [["x"] * 9 + [f"spread{i % 3}"] for i in range(200)]
+    batches.append(["hot"] * 600 + ["x"] * 10)
     flat = [t for b in batches for t in b]
     n, k = len(flat), 5
-    c = Counter(flat)
-    globally_heavy = {w for w, m in c.items() if m * k > n}
-    locally_heavy = set()
+    m = 2 * k
+    R: Counter = Counter()
     for b in batches:
-        cb = Counter(b)
-        locally_heavy |= {w for w, m in cb.items() if m * k > len(b)}
-    assert globally_heavy <= locally_heavy  # the superset guarantee
-    assert "hot" in globally_heavy and "spread" not in globally_heavy
+        nb = len(b)
+        for w, f in Counter(b).items():
+            r = f - nb // m
+            if r > 0:
+                R[w] += r
+    survivors = {w for w, rr in R.items() if rr * m > n}
+    globally_heavy = {w for w, c in Counter(flat).items() if c * k > n}
+    assert globally_heavy <= survivors  # the superset guarantee
+    assert len(survivors) < m  # corpus-size-independent candidate bound
+    assert {"hot", "x"} <= globally_heavy
+    assert not any(w.startswith("spread") for w in survivors)
 
 
 def test_inverted_index_artifact_roundtrip(ray_session, tmp_path):
