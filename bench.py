@@ -130,24 +130,33 @@ def bench_annotate(sf_dir: str, num_cpus: int) -> dict:
     n_turns = n_docs * REPLICATE
 
     stage = os.environ.get("KGREF_BENCH_STAGE", "full")
+    xbytes = None
     t0 = time.time()
-    triples = build_triples(
-        _replicated_transcripts(sf_dir, REPLICATE, num_blocks=blocks),
-        ray.put(docdict.state()), cfg.options, cfg)
-    if stage == "annotate":
-        # the BASELINE metric is turns ANNOTATED/sec: stream the matcher
-        # stage to a count consumer, no sink
-        n_triples = triples.count()
-    else:
-        metrics = materialize_conversations(triples, out_dir, cfg,
-                                            lineage={"bench": True},
-                                            unscored=not cfg.options.score)
-        n_triples = metrics["rows"]
-    wall = time.time() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return {"sec": round(wall, 3), "turns": n_turns,
-            "triples": n_triples, "stage": stage,
-            "turns_per_sec": round(n_turns / wall, 1)}
+    try:  # always reclaim the pid-suffixed out_dir (ADVICE r4)
+        triples = build_triples(
+            _replicated_transcripts(sf_dir, REPLICATE, num_blocks=blocks),
+            ray.put(docdict.state()), cfg.options, cfg)
+        if stage == "annotate":
+            # the BASELINE metric is turns ANNOTATED/sec: stream the
+            # matcher stage to a count consumer, no sink
+            n_triples = triples.count()
+        else:
+            metrics = materialize_conversations(
+                triples, out_dir, cfg, lineage={"bench": True},
+                unscored=not cfg.options.score)
+            n_triples = metrics["rows"]
+            xbytes = metrics.get("exchange_bytes")
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = {"sec": round(wall, 3), "turns": n_turns,
+           "triples": n_triples, "stage": stage,
+           "turns_per_sec": round(n_turns / wall, 1)}
+    if xbytes is not None:
+        # bytes through THE shuffle (manifest roll-up) — the quantity a
+        # real cluster moves over the network; see BASELINE.md
+        out["exchange_bytes"] = int(xbytes)
+    return out
 
 
 def bench_annotate_scored(sf_dir: str, num_cpus: int) -> dict:
@@ -301,10 +310,22 @@ def _settle() -> None:
         time.sleep(10)
 
 
+# proportional object-store budget per leg (ADVICE r4: only the quad8
+# legs used to be capped at 8 GB while solo legs ran Ray's default 30%
+# of host RAM — an asymmetric memory configuration biasing the ratio);
+# now EVERY criterion/scaling/colocate leg gets 1 GB per CPU
+OBJ_GB_PER_CPU = float(os.environ.get("GRAFT_OBJ_GB_PER_CPU", "1"))
+
+
+def _leg_env(sf_dir: str, cpus: int, stage: str, rep: int) -> dict:
+    return dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
+                GRAFT_BENCH_REP=str(rep), KGREF_BENCH_STAGE=stage,
+                GRAFT_OBJ_STORE_GB=str(OBJ_GB_PER_CPU * cpus))
+
+
 def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
                rep: int = SCALING_REP) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
-               GRAFT_BENCH_REP=str(rep), KGREF_BENCH_STAGE=stage)
+    env = _leg_env(sf_dir, cpus, stage, rep)
     _settle()
     pre_load = _loadavg1()
     out = subprocess.run(
@@ -319,6 +340,49 @@ def _one_trial(sf_dir: str, cpus: int, stage: str = "annotate",
     r = json.loads(lines[-1])
     r["pre_load"] = pre_load
     return r
+
+
+def _run_quad(sf_dir: str, stage: str, rep: int) -> tuple[list[dict], float]:
+    """FOUR concurrent 8-CPU legs.  Child stdout/stderr go to temp
+    FILES, not pipes (ADVICE r4: a child emitting >64 KB of stderr
+    blocked mid-run behind a sequential communicate(), breaking the
+    'four concurrent jobs' premise), and stragglers are killed in a
+    finally block if any child fails."""
+    import tempfile
+
+    env = _leg_env(sf_dir, 8, stage, rep)
+    procs = []
+    t0 = time.time()
+    try:
+        for _ in range(4):
+            out_f = tempfile.TemporaryFile(mode="w+")
+            err_f = tempfile.TemporaryFile(mode="w+")
+            procs.append((subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-json"],
+                env=env, stdout=out_f, stderr=err_f,
+                cwd=os.path.dirname(os.path.abspath(__file__))),
+                out_f, err_f))
+        for p, _o, _e in procs:
+            p.wait()
+        wall = time.time() - t0
+        quad = []
+        for p, out_f, err_f in procs:
+            out_f.seek(0)
+            lines = [ln for ln in out_f.read().splitlines()
+                     if ln.startswith("{")]
+            if p.returncode != 0 or not lines:
+                err_f.seek(0)
+                raise RuntimeError(f"colocate child rc={p.returncode}; "
+                                   f"stderr tail:\n{err_f.read()[-2000:]}")
+            quad.append(json.loads(lines[-1]))
+        return quad, wall
+    finally:
+        for p, out_f, err_f in procs:
+            if p.poll() is None:
+                p.kill()
+            out_f.close()
+            err_f.close()
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -418,36 +482,14 @@ def run_colocate(sf_dir: str, stage: str = "annotate",
     aggregate(quad8) / (4·solo8): the pure hardware-sharing cost that
     vanishes when the four jobs live on four nodes.  Implied 4-node
     efficiency = framework_ratio (hardware term → 1 across nodes)."""
-    _settle()
-    pre_solo8 = _loadavg1()
-    r8 = _one_trial(sf_dir, 8, stage=stage, rep=rep)
+    r8 = _one_trial(sf_dir, 8, stage=stage, rep=rep)  # settles itself
 
     _settle()
     pre_quad = _loadavg1()
-    env = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=sf_dir,
-               GRAFT_BENCH_REP=str(rep), KGREF_BENCH_STAGE=stage,
-               # 4 concurrent local Ray sessions: cap each object store so
-               # the default (30% of host RAM each) cannot over-commit shm
-               GRAFT_OBJ_STORE_GB="8")
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--headline-json"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-        for _ in range(4)]
-    t0 = time.time()
-    quad = []
-    for p in procs:
-        out, err = p.communicate()
-        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-        if p.returncode != 0 or not lines:
-            raise RuntimeError(f"colocate child rc={p.returncode}; "
-                               f"stderr tail:\n{err[-2000:]}")
-        quad.append(json.loads(lines[-1]))
-    quad_wall = time.time() - t0
+    quad, quad_wall = _run_quad(sf_dir, stage, rep)
     rates = [q["annotate_turns_per_sec"] for q in quad]
     agg = sum(rates)
 
-    _settle()
     r32 = _one_trial(sf_dir, 32, stage=stage, rep=rep)
 
     framework = r32["annotate_turns_per_sec"] / agg
@@ -467,15 +509,81 @@ def run_colocate(sf_dir: str, stage: str = "annotate",
         "single_node_8_to_32_efficiency": round(
             r32["annotate_turns_per_sec"]
             / (4 * r8["annotate_turns_per_sec"]), 3),
-        "pre_load": {"solo8": pre_solo8, "quad8": pre_quad,
+        "pre_load": {"solo8": r8["pre_load"], "quad8": pre_quad,
                      "solo32": r32["pre_load"]},
+        "obj_store_gb_per_cpu": OBJ_GB_PER_CPU,
         "scaling_rep": rep,
         "sf": sf_dir,
     }
 
 
+def run_criterion(sf_dir: str, rep: int = SCALING_REP) -> dict:
+    """VERDICT r4 Next #7: ONE settle-gated window producing the full
+    scaling-criterion triple so the raw pair, the co-residency
+    decomposition, and the exchange-byte accounting all describe the
+    same load regime:
+
+      1. solo8 → quad8 → solo32 annotate legs, back to back (each leg
+         waits for the 1-min loadavg to decay below the gate first):
+         raw single-node 8→32 efficiency, framework_ratio
+         (solo32 / Σquad8 — the only loss a real 4-node cluster keeps),
+         colocate_penalty (Σquad8 / 4·solo8 — the shared-memory-bus
+         loss 4 real nodes remove by construction).
+      2. One full-pipeline 32-CPU leg in the same window reporting
+         ``exchange_bytes`` — the manifest roll-up of bytes through THE
+         shuffle, i.e. the volume a real cluster would move over the
+         network (partially addressing the unmeasured-cross-node-
+         network caveat: the exchange is measured, the wire isn't).
+    """
+    r8 = _one_trial(sf_dir, 8, rep=rep)
+    _settle()
+    pre_quad = _loadavg1()
+    quad, quad_wall = _run_quad(sf_dir, "annotate", rep)
+    rates = [q["annotate_turns_per_sec"] for q in quad]
+    agg = sum(rates)
+    r32 = _one_trial(sf_dir, 32, rep=rep)
+    f32 = _one_trial(sf_dir, 32, stage="full", rep=SCALING_REP_FULL)
+    fdet = f32.get("detail", {}).get("annotate_flagship", {})
+    raw = r32["annotate_turns_per_sec"] / (4 * r8["annotate_turns_per_sec"])
+    framework = r32["annotate_turns_per_sec"] / agg
+    loads = [r8["pre_load"], pre_quad, r32["pre_load"], f32["pre_load"]]
+    return {
+        "metric": "scaling_criterion_window",
+        "value": round(framework, 3),
+        "unit": "ratio",
+        "estimator": ("framework_ratio solo32/sum(quad8) — the implied "
+                      "4-node efficiency (hardware-sharing term -> 1 "
+                      "across real nodes); raw pair and decomposition "
+                      "from the SAME settle-gated window"),
+        "clean": all(ld <= SCALING_LOAD_MAX for ld in loads),
+        "pre_load": {"solo8": r8["pre_load"], "quad8": pre_quad,
+                     "solo32": r32["pre_load"], "full32": f32["pre_load"]},
+        "raw_single_node_8_to_32_efficiency": round(raw, 3),
+        "framework_ratio_solo32_over_quad8": round(framework, 3),
+        "colocate_penalty_quad8_over_4xsolo8": round(
+            agg / (4 * r8["annotate_turns_per_sec"]), 3),
+        "turns_per_sec": {"cpus8": r8["annotate_turns_per_sec"],
+                          "cpus32": r32["annotate_turns_per_sec"],
+                          "quad8_each": [round(r, 1) for r in rates],
+                          "quad8_aggregate": round(agg, 1)},
+        "quad8_wall_sec": round(quad_wall, 3),
+        "full_pipeline_32": {
+            "sec": f32["value"],
+            "turns_per_sec": f32["annotate_turns_per_sec"],
+            "exchange_bytes": fdet.get("exchange_bytes"),
+            "triples": fdet.get("triples"),
+            "replicate": SCALING_REP_FULL},
+        "obj_store_gb_per_cpu": OBJ_GB_PER_CPU,
+        "scaling_rep": rep,
+        "sf": sf_dir,
+        "num_cpus": 32,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--criterion" in sys.argv:
+        print(json.dumps(run_criterion(SF_DIR)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     elif "--colocate-full" in sys.argv:
         print(json.dumps(run_colocate(SF_DIR, stage="full",

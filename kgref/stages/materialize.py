@@ -202,6 +202,11 @@ def _order_dedup_bucket(t: pa.Table,
     is re-derived here with vectorized joins.  Per-group conversation
     stats go to sidecar JSONs (worker-side) so manifest finalization
     never re-reads data columns on the driver."""
+    # exchange-byte accounting (VERDICT r4 Next #7): this table is one
+    # group as it LANDED from THE shuffle — its Arrow byte size is the
+    # per-group volume of the pipeline's single all-to-all, recorded
+    # worker-side into the stats sidecars and rolled up into manifests
+    xbytes = int(t.nbytes)
     t = t.unify_dictionaries()
     key_names = ["conv_id", "turn_idx", "from_1b", "to_1b", "pred", "obj",
                  "match_type"]
@@ -247,7 +252,8 @@ def _order_dedup_bucket(t: pa.Table,
         bid = int(t.column("bucket")[0].as_py())
         salt = int(t.column("salt")[0].as_py())
         stats = {"bucket": bid, "salt": salt, "rows": int(t.num_rows),
-                 "num_convs": int(pc.count_distinct(conv_str).as_py())}
+                 "num_convs": int(pc.count_distinct(conv_str).as_py()),
+                 "exchange_bytes": xbytes}
         tmp = os.path.join(stats_dir, f".{bid}-{salt}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(stats, fh)
@@ -366,12 +372,14 @@ def materialize_conversations(
             s = json.load(open(os.path.join(stats_dir, f)))
             agg = bucket_stats.setdefault(s["bucket"],
                                           {"rows": 0, "num_convs": 0,
-                                           "salt_groups": 0})
+                                           "salt_groups": 0,
+                                           "exchange_bytes": 0})
             agg["rows"] += s["rows"]
             # per-salt nunique; exact unless a hot conv spans salts, in
             # which case this is an upper bound (documented)
             agg["num_convs"] += s["num_convs"]
             agg["salt_groups"] += 1
+            agg["exchange_bytes"] += s.get("exchange_bytes", 0)
 
     def _finalize_bucket(d: str) -> tuple[int, int]:
         bid = int(d.split("=")[1])
@@ -392,6 +400,7 @@ def materialize_conversations(
             "rows": rows,
             "num_convs": st.get("num_convs", 0),
             "salt_groups": st.get("salt_groups", 0),
+            "exchange_bytes": st.get("exchange_bytes", 0),
             "completed_at": time.time(),
             "lineage": lineage or {},
         }
@@ -408,6 +417,8 @@ def materialize_conversations(
         for _bid, rows in pool.map(_finalize_bucket, written):
             metrics["buckets"] += 1
             metrics["rows"] += rows
+    metrics["exchange_bytes"] = sum(
+        s["exchange_bytes"] for s in bucket_stats.values())
     if _dbg:
         print(f"[materialize] +manifests {time.time() - t0:.1f}s",
               file=__import__('sys').stderr, flush=True)
