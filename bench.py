@@ -268,7 +268,7 @@ def run_suite_median(sf_dir: str, num_cpus: int,
             d["turns_per_sec"] = round(statistics.median(
                 r["detail"][k]["turns_per_sec"] for r in runs), 1)
         detail[k] = d
-    return {
+    out = {
         "metric": "bench_total_sec",
         "value": round(sum(med_q.values()), 3),
         "unit": "sec",
@@ -280,6 +280,17 @@ def run_suite_median(sf_dir: str, num_cpus: int,
         "annotate_turns_per_sec":
             detail["annotate_flagship"]["turns_per_sec"],
     }
+    # attach the committed one-window scaling-criterion record (produced
+    # by `bench.py --criterion`, a ~20-min settle-gated window that
+    # cannot run inside this timing suite without polluting it): the
+    # raw 8→32 pair, framework_ratio, colocate_penalty and the
+    # flagship's exchange-byte roll-up, all from ONE load regime
+    crit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING_r05.json")
+    if os.path.exists(crit_path):
+        with open(crit_path) as fh:
+            out["scaling_criterion_recorded"] = json.load(fh)
+    return out
 
 
 SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))

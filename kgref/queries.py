@@ -472,6 +472,40 @@ FROM s JOIN p USING (conv_id, turn_idx)
 """
 
 
+def _annotations_ntriples(sf_dir: str):
+    """W3C N-Triples rendering of the flat triples (S5 interchange
+    surface for the OntoPortal/RDF ecosystem), gated on the RENDERED
+    BYTES: to_ntriples builds each `<span> <pred> <class> .` line with
+    Arrow string kernels, ntriples_projection folds the raw line
+    strings per predicate, and the DuckDB twin rebuilds the exact same
+    strings from the independently re-derived flat triples — a
+    reordered field, changed IRI scheme, or dropped/duplicated line
+    moves a fold column.  The file sink (write_ntriples: deterministic
+    per-bucket .nt shards, worker-side, atomic rename) shares the line
+    builder and is pinned by tests/test_serialize.py."""
+    from .stages.serialize import ntriples_projection, to_ntriples
+
+    t = _annotate_ds(sf_dir, AnnotateOptions(expand_hierarchy_levels=2,
+                                             expand_mappings=True))
+    return ntriples_projection(to_ntriples(t))
+
+
+def annotations_ntriples_sql() -> str:
+    from .ops.m61 import fold_sql
+
+    tri = annotate_oracle_sql(AnnotateOptions(expand_hierarchy_levels=2,
+                                              expand_mappings=True))
+    line = ("'<urn:kgref:span:' || subj || '> <urn:kgref:pred:' || pred"
+            " || '> <' || obj || '> .'")
+    return f"""
+WITH tri AS ({tri}),
+lines AS (SELECT pred, {line} AS line FROM tri)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum({fold_sql('line')} % 1000000000) AS BIGINT) AS line_fold9
+FROM lines GROUP BY pred
+"""
+
+
 def _top_users(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -523,7 +557,8 @@ _GATE_PRIORITY = [
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",
     "conv_dominant_class", "range_partition", "inverted_index",
-    "annotations_nested", "media_features", "events_user_pivot",
+    "annotations_nested", "annotations_ntriples", "media_features",
+    "events_user_pivot",
     "lineitem_pricing", "orders_by_segment", "nation_orders_join",
     "orders_price_band", "customers_semi_big", "customers_anti_big",
     "orders_rollup", "customer_big_order_counts",
@@ -559,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_triple_counts"] = _conv_triple_counts
     q["conv_subgraph"] = _conv_subgraph
     q["annotations_nested"] = _annotations_nested
+    q["annotations_ntriples"] = _annotations_ntriples
     q["class_frequencies"] = _class_frequencies
     q["events_agg"] = _events_agg
     q["top_users"] = _top_users
@@ -592,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         AnnotateOptions(expand_hierarchy_levels=2, expand_mappings=True)
     )
     o["annotations_nested"] = annotations_nested_sql()
+    o["annotations_ntriples"] = annotations_ntriples_sql()
     o["class_frequencies"] = (
         "SELECT obj, pred, count(*) AS n_annotations FROM ("
         + annotate_oracle_sql(

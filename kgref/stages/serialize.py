@@ -282,3 +282,158 @@ def nested_projection(nested):
                    "text_fold9", "label_fold9", "cui_fold9", "mt_fold9"])
 
     return nested.map_batches(proj, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# N-Triples export (S5 interchange surface)
+#
+# The reference lives in an ontology/RDF ecosystem (OntoPortal), so the
+# KG materialization needs an RDF-toolchain-consumable surface besides
+# Parquet and nested JSONL.  This is the W3C N-Triples rendering of the
+# flat triple rows: one `<span-IRI> <pred-IRI> <class-IRI> .` line per
+# triple, subjects minted as `urn:kgref:span:<conv>/<turn>/<from>-<to>`
+# (the same span encoding as TRIPLES.subj), predicates as
+# `urn:kgref:pred:<pred>`, objects as the ontology class URIs verbatim.
+# Optional `include_labels=True` additionally emits
+# `<class-IRI> <urn:kgref:pred:pref_label> "label" .` literal triples.
+#
+# Everything is vectorized Arrow string kernels (no per-row Python in
+# the line builder); the file sink reuses the coarse conv-bucket
+# group-and-write pattern of the JSONL export (deterministic
+# `bucket-<id>.nt` shard names, atomic tmp+rename, worker-side — a
+# resumable, driver-free sink).  Duplicate (s,p,o) lines are possible
+# when one span reaches the same class through two match types or two
+# descendants; RDF graphs are SETS, so duplicate lines are harmless to
+# any consumer, and the projection gate counts rows, not distinct
+# lines, to stay bit-comparable with the flat-triples oracle.
+
+_NT_IRI_ESC = ["\\", "<", ">", '"', "{", "}", "|", "^", "`",
+               " ", "\t", "\n", "\r"]
+
+
+def _escape_iri(col: pa.ChunkedArray | pa.Array):
+    """Percent-encode the characters N-Triples forbids inside <IRIREF>
+    (one-way sanitization for validity, not reversible encoding —
+    fixture URIs/ids never contain them, pinned by the oracle gate)."""
+    for ch in _NT_IRI_ESC:
+        col = pc.replace_substring(col, pattern=ch,
+                                   replacement=f"%{ord(ch):02X}")
+    return col
+
+
+def _escape_literal(col: pa.ChunkedArray | pa.Array):
+    """N-Triples string-literal escaping (backslash FIRST, then quote
+    and line breaks — ECHAR production)."""
+    col = pc.replace_substring(col, pattern="\\", replacement="\\\\")
+    col = pc.replace_substring(col, pattern='"', replacement='\\"')
+    col = pc.replace_substring(col, pattern="\n", replacement="\\n")
+    col = pc.replace_substring(col, pattern="\r", replacement="\\r")
+    return col
+
+
+def _nt_lines(t: pa.Table, include_labels: bool = False) -> pa.Table:
+    """One triples batch → (pred, line) N-Triples rows, all-Arrow."""
+    t = decode_dictionary_columns(t)
+    s = pa.scalar
+
+    def cat(*parts):
+        return pc.binary_join_element_wise(*parts, s(""))
+
+    conv = _escape_iri(t.column("conv_id").cast(pa.string()))
+    pred = t.column("pred").cast(pa.string())
+    obj = _escape_iri(t.column("obj").cast(pa.string()))
+    subj = cat(conv, s("/"), t.column("turn_idx").cast(pa.string()),
+               s("/"), t.column("from_1b").cast(pa.string()),
+               s("-"), t.column("to_1b").cast(pa.string()))
+    line = cat(s("<urn:kgref:span:"), subj, s("> <urn:kgref:pred:"),
+               pred, s("> <"), obj, s("> ."))
+    out = pa.table({"pred": pred, "line": line})
+    if include_labels:
+        # class-label literals: batch-local distinct (obj, pref_label)
+        # — duplicates ACROSS batches are possible and harmless (RDF
+        # set semantics); a global distinct would cost a shuffle.
+        lab = t.select(["obj", "pref_label"]).group_by(
+            ["obj", "pref_label"]).aggregate([])
+        lab_line = cat(s("<"), _escape_iri(lab.column("obj")),
+                       s('> <urn:kgref:pred:pref_label> "'),
+                       _escape_literal(lab.column("pref_label")),
+                       s('" .'))
+        out = pa.concat_tables([out, pa.table({
+            "pred": pa.array(["pref_label"] * len(lab), pa.string()),
+            "line": lab_line})])
+    return out.combine_chunks()
+
+
+def to_ntriples(triples, include_labels: bool = False):
+    """Flat TRIPLES Dataset → (pred, line) Dataset of N-Triples lines.
+    Pure per-batch transform — no shuffle; the export is
+    embarrassingly parallel."""
+    return triples.map_batches(
+        lambda b: _nt_lines(b, include_labels), batch_format="pyarrow")
+
+
+def write_ntriples(triples, out_dir: str, num_buckets: int = 32,
+                   include_labels: bool = False) -> int:
+    """Materialize the export as deterministic per-bucket ``.nt``
+    shards (bucket = crc32(conv_id) % num_buckets, lines sorted
+    bytewise within a shard, atomic tmp+rename, written worker-side).
+    Returns the number of lines written.  Same bucket-size bound as
+    ``nest_annotations``: size ``num_buckets`` so one bucket's lines
+    fit a worker's heap."""
+    import os
+
+    from .materialize import add_bucket_column
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        bid = int(t.column("bucket")[0].as_py())
+        lines = _nt_lines(t, include_labels).column("line")
+        lines = lines.take(pc.sort_indices(lines))
+        tmp = os.path.join(out_dir, f".bucket-{bid:04d}.nt.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines.to_pylist()) + "\n")
+        os.rename(tmp, os.path.join(out_dir, f"bucket-{bid:04d}.nt"))
+        return pa.Table.from_arrays(
+            [pa.array([bid], pa.int32()),
+             pa.array([len(lines)], pa.int64())],
+            names=["bucket", "n_lines"])
+
+    counts = (triples.map_batches(
+        lambda b: add_bucket_column(b, num_buckets),
+        batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow"))
+    return int(sum(r["n_lines"] for r in counts.take_all()))
+
+
+def ntriples_projection(lines):
+    """Hash-gateable reduction of the N-Triples export: per predicate,
+    the line count and the Σ (M61-fold mod 10^9) of the raw line
+    strings.  A dropped / duplicated / reformatted line anywhere moves
+    a fold column, and the DuckDB twin (queries.annotations_ntriples
+    _sql) rebuilds the exact line strings from the independently
+    re-derived flat triples — so the RENDERED BYTES are value-gated,
+    not just the triple multiset.  Combiner pattern: per-batch (pred,
+    n, fold9) partials, then a 3-row Sum groupby."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..ops.m61 import fold_m61_many
+
+        f9 = (fold_m61_many(t.column("line").to_pylist())
+              % np.uint64(1_000_000_000)).astype(np.int64)
+        df = pd.DataFrame({"pred": t.column("pred").to_pandas(),
+                           "f9": f9})
+        g = df.groupby("pred", sort=False).agg(
+            n_lines=("f9", "size"), line_fold9=("f9", "sum"))
+        g = g.reset_index()
+        g["n_lines"] = g["n_lines"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (lines.map_batches(partial, batch_format="pyarrow")
+            .groupby("pred")
+            .aggregate(Sum("n_lines", alias_name="n_lines"),
+                       Sum("line_fold9", alias_name="line_fold9")))

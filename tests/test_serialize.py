@@ -169,3 +169,99 @@ def test_nest_bucket_matches_naive():
     got = _nest_bucket(df).reset_index(drop=True)
     want = _nest_naive(df).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples export
+
+_NT_RE = __import__("re").compile(r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$")
+_SUBJ_RE = __import__("re").compile(
+    r"^urn:kgref:span:(.+)/(\d+)/(\d+)-(\d+)$")
+
+
+def _flat_triples_df(sf_dir):
+    return pa.concat_tables(
+        [decode_dictionary_columns(b)
+         for b in _triples(sf_dir).iter_batches(
+             batch_format="pyarrow")]).to_pandas()
+
+
+def test_ntriples_round_trips_to_flat_triples(ray_session):
+    from collections import Counter
+
+    from kgref.stages.serialize import to_ntriples
+
+    flat = _flat_triples_df(SF)
+    want = Counter(
+        (r.conv_id, int(r.turn_idx), int(r.from_1b), int(r.to_1b),
+         r.pred, r.obj) for r in flat.itertuples())
+
+    got: Counter = Counter()
+    for b in to_ntriples(_triples(SF)).iter_batches(
+            batch_format="pyarrow"):
+        for line in b.column("line").to_pylist():
+            m = _NT_RE.match(line)
+            assert m, line
+            sm = _SUBJ_RE.match(m.group(1))
+            assert sm, m.group(1)
+            pred = m.group(2)
+            assert pred.startswith("urn:kgref:pred:")
+            got[(sm.group(1), int(sm.group(2)), int(sm.group(3)),
+                 int(sm.group(4)), pred[len("urn:kgref:pred:"):],
+                 m.group(3))] += 1
+    # an independent regex parse of the rendered lines recovers the
+    # flat triple MULTISET exactly (duplicates included)
+    assert got == want
+
+
+def test_write_ntriples_files_match_dataset(ray_session, tmp_path):
+    from collections import Counter
+
+    from kgref.stages.serialize import to_ntriples, write_ntriples
+
+    out = str(tmp_path / "nt")
+    n = write_ntriples(_triples(SF), out, num_buckets=8)
+
+    file_lines: Counter = Counter()
+    total = 0
+    for f in sorted(os.listdir(out)):
+        assert f.startswith("bucket-") and f.endswith(".nt")
+        chunk = [ln.rstrip("\n") for ln in open(os.path.join(out, f))]
+        assert chunk == sorted(chunk)  # bytewise-sorted within a shard
+        file_lines.update(chunk)
+        total += len(chunk)
+    assert total == n
+
+    ds_lines = Counter()
+    for b in to_ntriples(_triples(SF)).iter_batches(
+            batch_format="pyarrow"):
+        ds_lines.update(b.column("line").to_pylist())
+    assert file_lines == ds_lines
+
+
+def test_ntriples_escaping_and_labels():
+    from kgref.stages.serialize import _nt_lines
+
+    t = pa.table({
+        "conv_id": ['c<1> "x"\\'],
+        "turn_idx": pa.array([3], pa.int32()),
+        "from_1b": pa.array([1], pa.int32()),
+        "to_1b": pa.array([2], pa.int32()),
+        "pred": ["annotated_with"],
+        "obj": ["http://x.test/A#C 1{}|^`"],
+        "pref_label": ['La"bel\\\nend'],
+    })
+    out = _nt_lines(t, include_labels=True)
+    lines = out.column("line").to_pylist()
+    assert len(lines) == 2
+    for ln in lines:
+        m = _NT_RE.fullmatch(ln) or __import__("re").fullmatch(
+            r'^<([^>]*)> <([^>]*)> "((?:[^"\\]|\\.)*)" \.$', ln)
+        assert m, ln
+        # no raw forbidden characters survive inside any <IRIREF>
+        for part in (m.group(1), m.group(2)):
+            assert not any(c in part for c in
+                           ' <>"{}|^`\\\t\n\r'), part
+    lit = [ln for ln in lines if '"' in ln][0]
+    assert '\\"' in lit and "\\n" in lit and "\\\\" in lit
+    assert "<urn:kgref:pred:pref_label>" in lit
