@@ -62,6 +62,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="also export the reference-shape NESTED "
                         "annotation objects as per-bucket JSONL under "
                         "<out>/jsonl/ (stages.serialize)")
+    p.add_argument("--emit-ntriples", action="store_true",
+                   help="also export the triples as W3C N-Triples "
+                        "(per-bucket .nt shards under <out>/ntriples/, "
+                        "RDF-toolchain-consumable; stages.serialize)")
     return p.parse_args(argv)
 
 
@@ -108,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
                   else AnnotateTriples)
     metrics = run_pipeline(args.transcripts, args.dict_dir, args.out, opts,
                            cfg, recognizer=recognizer)
-    if args.emit_jsonl:
+    if args.emit_jsonl or args.emit_ntriples:
         import os
 
         from .pipelines.annotate_pipeline import build_triples
@@ -116,13 +120,24 @@ def main(argv: list[str] | None = None) -> int:
         from .state.dictionary import DictionaryState
 
         state_ref = ray.put(DictionaryState.from_dir(args.dict_dir))
-        triples = build_triples(read_transcripts(args.transcripts),
-                                state_ref, opts, cfg, recognizer=recognizer)
-        from .stages.serialize import write_annotations_jsonl
 
-        metrics["jsonl_lines"] = write_annotations_jsonl(
-            triples, os.path.join(args.out, "jsonl"),
-            num_buckets=args.num_buckets)
+        def fresh_triples():
+            return build_triples(read_transcripts(args.transcripts),
+                                 state_ref, opts, cfg,
+                                 recognizer=recognizer)
+
+        if args.emit_jsonl:
+            from .stages.serialize import write_annotations_jsonl
+
+            metrics["jsonl_lines"] = write_annotations_jsonl(
+                fresh_triples(), os.path.join(args.out, "jsonl"),
+                num_buckets=args.num_buckets)
+        if args.emit_ntriples:
+            from .stages.serialize import write_ntriples
+
+            metrics["ntriples_lines"] = write_ntriples(
+                fresh_triples(), os.path.join(args.out, "ntriples"),
+                num_buckets=args.num_buckets)
     print(json.dumps(metrics))
     ray.shutdown()
     return 0
