@@ -472,6 +472,81 @@ FROM s JOIN p USING (conv_id, turn_idx)
 """
 
 
+def _annotate_lemma(sf_dir: str):
+    """Lemmatization-based matching (kgref.lemma — the Annotator+/SIFR
+    fork's lemma mode, §2.10 fourth engine) over a view that PLURALIZES
+    the last token of every document (``text || 's'`` on both sides —
+    the synthetic corpus carries no inflected forms, so without the
+    view the lemma engine degenerates to exact matching and the gate
+    would prove nothing).  The DuckDB twin lemmatizes dictionary terms
+    and text-token windows with the SAME rule set
+    (kgref.lemma.lemma_sql_expr) and joins on the lemma-key sequence;
+    matched_text carries the INFLECTED original window on both sides."""
+    import ray
+
+    from .pipelines.annotate_pipeline import build_triples
+    from .sources.transcripts import documents_as_transcripts
+    from .stages.annotate import LemmaAnnotateTriples
+
+    ds = documents_as_transcripts(
+        sf_dir, turns_per_conv=docdict.TURNS_PER_CONV)
+
+    def pluralize(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("text"), "text",
+            pc.binary_join_element_wise(
+                b.column("text").cast(pa.string()), "s", ""))
+
+    triples = build_triples(ds.map_batches(pluralize,
+                                           batch_format="pyarrow"),
+                            ray.put(docdict.state()), AnnotateOptions(),
+                            _CFG, recognizer=LemmaAnnotateTriples)
+    return triples.map_batches(_plain_strings, batch_format="pyarrow")
+
+
+def annotate_lemma_sql() -> str:
+    from .lemma import lemma_sql_expr
+
+    tpc = docdict.TURNS_PER_CONV
+    stop = ", ".join("'" + w + "'" for w in sorted(docdict.STOPWORDS))
+    lem = lemma_sql_expr("x")
+    return f"""
+WITH {docdict.sql_dict_cte()},
+{docdict.sql_labels_cte()},
+{docdict.sql_classes_cte()},
+docs AS (SELECT doc_id, text || 's' AS text FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t),
+dictl AS (SELECT term_id, ntok,
+  array_to_string(list_transform(string_split(term, ' '),
+                                 x -> {lem}), ' ') AS lterm
+  FROM dict),
+raw0 AS (
+  SELECT doc_id, term_id,
+    array_to_string(list_slice(w, p, p + ntok - 1), ' ') AS surface,
+    CAST(CASE WHEN p = 1 THEN 1
+         ELSE length(array_to_string(list_slice(w, 1, p - 1), ' ')) + 2
+         END AS INTEGER) AS from_1b
+  FROM tok JOIN dictl ON p + ntok - 1 <= len(w)
+   AND array_to_string(list_transform(list_slice(w, p, p + ntok - 1),
+                                      x -> {lem}), ' ') = lterm),
+raw AS (SELECT *, CAST(from_1b + length(surface) - 1 AS INTEGER) AS to_1b
+        FROM raw0 WHERE upper(surface) NOT IN ({stop}))
+SELECT 'conv-' || CAST(r.doc_id // {tpc} AS VARCHAR) || '/' ||
+         CAST(r.doc_id % {tpc} AS VARCHAR) || '/' ||
+         CAST(r.from_1b AS VARCHAR) || '-' || CAST(r.to_1b AS VARCHAR)
+         AS subj,
+       'annotated_with' AS pred, l.class_uri AS obj,
+       'conv-' || CAST(r.doc_id // {tpc} AS VARCHAR) AS conv_id,
+       CAST(r.doc_id % {tpc} AS INTEGER) AS turn_idx, r.from_1b, r.to_1b,
+       l.match_type, r.surface AS matched_text,
+       CAST(0 AS INTEGER) AS distance, c.pref_label, c.cui,
+       CAST(0.0 AS DOUBLE) AS score
+FROM raw r JOIN labels l USING (term_id)
+JOIN cls c ON c.class_uri = l.class_uri
+"""
+
+
 def _annotations_ntriples(sf_dir: str):
     """W3C N-Triples rendering of the flat triples (S5 interchange
     surface for the OntoPortal/RDF ecosystem), gated on the RENDERED
@@ -557,8 +632,8 @@ _GATE_PRIORITY = [
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",
     "conv_dominant_class", "range_partition", "inverted_index",
-    "annotations_nested", "annotations_ntriples", "media_features",
-    "events_user_pivot",
+    "annotations_nested", "annotations_ntriples", "annotate_lemma",
+    "media_features", "events_user_pivot",
     "lineitem_pricing", "orders_by_segment", "nation_orders_join",
     "orders_price_band", "customers_semi_big", "customers_anti_big",
     "orders_rollup", "customer_big_order_counts",
@@ -595,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_subgraph"] = _conv_subgraph
     q["annotations_nested"] = _annotations_nested
     q["annotations_ntriples"] = _annotations_ntriples
+    q["annotate_lemma"] = _annotate_lemma
     q["class_frequencies"] = _class_frequencies
     q["events_agg"] = _events_agg
     q["top_users"] = _top_users
@@ -629,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["annotations_nested"] = annotations_nested_sql()
     o["annotations_ntriples"] = annotations_ntriples_sql()
+    o["annotate_lemma"] = annotate_lemma_sql()
     o["class_frequencies"] = (
         "SELECT obj, pred, count(*) AS n_annotations FROM ("
         + annotate_oracle_sql(

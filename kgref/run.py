@@ -53,9 +53,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                                                    "cvalueh"])
     p.add_argument("--score-threshold", type=float, default=0.0)
     p.add_argument("--recognizer", default="index",
-                   choices=["index", "regex"],
-                   help="raw-match engine: token-window/AC index "
-                        "(default) or the regex scanner (§2.10 plugin)")
+                   choices=["index", "regex", "stat", "lemma"],
+                   help="raw-match engine (§2.10 plugin): token-window/"
+                        "AC index (default), regex scanner, statistical "
+                        "BIO tagger, or lemmatization-based matcher "
+                        "(Annotator+ lemma mode)")
     p.add_argument("--hot-conv-rows", type=int, default=50_000)
     p.add_argument("--salt-chunk", type=int, default=8_192)
     p.add_argument("--emit-jsonl", action="store_true",
@@ -106,10 +108,14 @@ def main(argv: list[str] | None = None) -> int:
         salt_chunk=args.salt_chunk,
         options=opts,
     )
-    from .stages.annotate import AnnotateTriples, RegexAnnotateTriples
+    from .stages.annotate import (AnnotateTriples, LemmaAnnotateTriples,
+                                  RegexAnnotateTriples,
+                                  StatisticalAnnotateTriples)
 
-    recognizer = (RegexAnnotateTriples if args.recognizer == "regex"
-                  else AnnotateTriples)
+    recognizer = {"index": AnnotateTriples,
+                  "regex": RegexAnnotateTriples,
+                  "stat": StatisticalAnnotateTriples,
+                  "lemma": LemmaAnnotateTriples}[args.recognizer]
     metrics = run_pipeline(args.transcripts, args.dict_dir, args.out, opts,
                            cfg, recognizer=recognizer)
     if args.emit_jsonl or args.emit_ntriples:

@@ -754,3 +754,32 @@ class RegexAnnotateTriples(AnnotateTriples):
             match_fn=self._scanner.match,
             registry=self.registry,
         )
+
+
+class LemmaAnnotateTriples(AnnotateTriples):
+    """Fourth recognizer through the plugin surface: lemmatization-based
+    matching (kgref.lemma — the Annotator+/SIFR fork's lemma mode,
+    reconstructed from the published description; BASELINE.md records
+    the feature as living outside the reference gem).  Dictionary lemma
+    index built ONCE per actor in __init__ like every other engine;
+    raw matches carry ORIGINAL-text offsets so the shared filtering /
+    expansion / canonicalization and the matched_text (inflected
+    surface) column are engine-independent."""
+
+    def __init__(self, state, opts: AnnotateOptions | None = None):
+        super().__init__(state, opts)
+        from ..lemma import LemmaTermScanner
+
+        self._scanner = LemmaTermScanner(
+            self.state.term_dictionary().term_ids_by_norm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return annotate_rows(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("text").to_pylist(),
+            self.state,
+            self.opts,
+            match_fn=self._scanner.match,
+            registry=self.registry,
+        )
