@@ -547,6 +547,89 @@ JOIN cls c ON c.class_uri = l.class_uri
 """
 
 
+def _clinical_context(sf_dir: str):
+    """Clinical context flags — ConText (kgref.ops.context): the
+    Annotator+/SIFR fork's negation / experiencer / temporality
+    detection, computed INSIDE the annotate actor pass (flags are a
+    pure function of turn text + span start, so zero extra shuffle).
+    Runs over the deterministic trigger-injection view (prefix by
+    doc_id % 8 — the synthetic corpus has no clinical language, so
+    without the view every flag would be the default and the gate
+    would prove nothing); the DuckDB twin injects the same prefixes
+    and evaluates the same window/terminator spec via EXISTS."""
+    import ray
+
+    from .ops.context import CONTEXT_PREFIXES, ContextAnnotateTriples
+    from .pipelines.annotate_pipeline import build_triples
+    from .sources.transcripts import documents_as_transcripts
+
+    tpc = docdict.TURNS_PER_CONV
+    ds = documents_as_transcripts(sf_dir, turns_per_conv=tpc)
+    prefixes = pa.array(CONTEXT_PREFIXES)
+    nmod = len(CONTEXT_PREFIXES)
+
+    def inject(b: pa.Table) -> pa.Table:
+        conv_num = pc.cast(
+            pc.utf8_slice_codeunits(b.column("conv_id").cast(pa.string()),
+                                    5, 9999), pa.int64())
+        doc_id = pc.add(pc.multiply(conv_num, tpc),
+                        pc.cast(b.column("turn_idx"), pa.int64()))
+        sel = pc.cast(pc.subtract(doc_id, pc.multiply(
+            pc.divide(doc_id, nmod), nmod)), pa.int32())
+        pref = prefixes.take(sel)
+        return b.set_column(
+            b.schema.get_field_index("text"), "text",
+            pc.binary_join_element_wise(
+                pref, b.column("text").cast(pa.string()), ""))
+
+    triples = build_triples(ds.map_batches(inject, batch_format="pyarrow"),
+                            ray.put(docdict.state()), AnnotateOptions(),
+                            _CFG, recognizer=ContextAnnotateTriples)
+    return triples.map_batches(_plain_strings, batch_format="pyarrow")
+
+
+def clinical_context_sql() -> str:
+    from .ops.context import context_flag_exprs_sql, context_prefix_sql_case
+
+    tpc = docdict.TURNS_PER_CONV
+    stop = ", ".join("'" + w + "'" for w in sorted(docdict.STOPWORDS))
+    fx = context_flag_exprs_sql("r")
+    return f"""
+WITH {docdict.sql_dict_cte()},
+{docdict.sql_labels_cte()},
+{docdict.sql_classes_cte()},
+docs AS (SELECT doc_id, {context_prefix_sql_case()} || text AS text
+         FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+tok AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t),
+{fx['ctes']},
+raw0 AS (
+  SELECT doc_id, term_id, term, p,
+    CAST(CASE WHEN p = 1 THEN 1
+         ELSE length(array_to_string(list_slice(w, 1, p - 1), ' ')) + 2
+         END AS INTEGER) AS from_1b
+  FROM tok JOIN dict ON p + ntok - 1 <= len(w)
+   AND array_to_string(list_slice(w, p, p + ntok - 1), ' ') = term),
+raw AS (SELECT *, CAST(from_1b + length(term) - 1 AS INTEGER) AS to_1b
+        FROM raw0 WHERE upper(term) NOT IN ({stop}))
+SELECT 'conv-' || CAST(r.doc_id // {tpc} AS VARCHAR) || '/' ||
+         CAST(r.doc_id % {tpc} AS VARCHAR) || '/' ||
+         CAST(r.from_1b AS VARCHAR) || '-' || CAST(r.to_1b AS VARCHAR)
+         AS subj,
+       'annotated_with' AS pred, l.class_uri AS obj,
+       'conv-' || CAST(r.doc_id // {tpc} AS VARCHAR) AS conv_id,
+       CAST(r.doc_id % {tpc} AS INTEGER) AS turn_idx, r.from_1b, r.to_1b,
+       l.match_type, r.term AS matched_text,
+       CAST(0 AS INTEGER) AS distance, c.pref_label, c.cui,
+       CAST(0.0 AS DOUBLE) AS score,
+       {fx['negated']} AS negated,
+       {fx['experiencer']} AS experiencer,
+       {fx['temporality']} AS temporality
+FROM raw r JOIN labels l USING (term_id)
+JOIN cls c ON c.class_uri = l.class_uri
+"""
+
+
 def _annotations_ntriples(sf_dir: str):
     """W3C N-Triples rendering of the flat triples (S5 interchange
     surface for the OntoPortal/RDF ecosystem), gated on the RENDERED
@@ -615,7 +698,12 @@ _GATE_PRIORITY = [
     "annotate_score_cvalue", "annotate_score_cvalueh", "annotate_subword",
     "annotate_exclude_numbers", "annotate_with_numbers",
     "conv_turns", "conv_triple_counts", "conv_subgraph",
-    "class_frequencies", "events_agg", "top_users",
+    "class_frequencies",
+    # NEW in r5 — never driver-verified, so they outrank two stale-but-
+    # once-verified simple aggregates (events_agg, top_users — moved
+    # just below the boundary; both unchanged since r03 and covered by
+    # scripts/check_oracle_parity.py)
+    "annotate_lemma", "clinical_context",
     # r1–r3 ops the r04 window didn't reach
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
@@ -627,12 +715,13 @@ _GATE_PRIORITY = [
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
-    # --- window boundary (50) — everything below hash-PASSed in r04 ---
+    # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
+    "events_agg", "top_users",
     "class_bfs", "class_clustering", "class_by_lang",
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",
     "conv_dominant_class", "range_partition", "inverted_index",
-    "annotations_nested", "annotations_ntriples", "annotate_lemma",
+    "annotations_nested", "annotations_ntriples",
     "media_features", "events_user_pivot",
     "lineitem_pricing", "orders_by_segment", "nation_orders_join",
     "orders_price_band", "customers_semi_big", "customers_anti_big",
@@ -671,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["annotations_nested"] = _annotations_nested
     q["annotations_ntriples"] = _annotations_ntriples
     q["annotate_lemma"] = _annotate_lemma
+    q["clinical_context"] = _clinical_context
     q["class_frequencies"] = _class_frequencies
     q["events_agg"] = _events_agg
     q["top_users"] = _top_users
@@ -706,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
     o["annotations_nested"] = annotations_nested_sql()
     o["annotations_ntriples"] = annotations_ntriples_sql()
     o["annotate_lemma"] = annotate_lemma_sql()
+    o["clinical_context"] = clinical_context_sql()
     o["class_frequencies"] = (
         "SELECT obj, pred, count(*) AS n_annotations FROM ("
         + annotate_oracle_sql(

@@ -58,6 +58,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "AC index (default), regex scanner, statistical "
                         "BIO tagger, or lemmatization-based matcher "
                         "(Annotator+ lemma mode)")
+    p.add_argument("--context-flags", action="store_true",
+                   help="compute ConText clinical-context columns "
+                        "(negated / experiencer / temporality — the "
+                        "Annotator+ clinical-context feature) in the "
+                        "annotate pass; index engine only")
     p.add_argument("--hot-conv-rows", type=int, default=50_000)
     p.add_argument("--salt-chunk", type=int, default=8_192)
     p.add_argument("--emit-jsonl", action="store_true",
@@ -116,6 +121,12 @@ def main(argv: list[str] | None = None) -> int:
                   "regex": RegexAnnotateTriples,
                   "stat": StatisticalAnnotateTriples,
                   "lemma": LemmaAnnotateTriples}[args.recognizer]
+    if args.context_flags:
+        if args.recognizer != "index":
+            raise SystemExit("--context-flags requires the index engine")
+        from .ops.context import ContextAnnotateTriples
+
+        recognizer = ContextAnnotateTriples
     metrics = run_pipeline(args.transcripts, args.dict_dir, args.out, opts,
                            cfg, recognizer=recognizer)
     if args.emit_jsonl or args.emit_ntriples:
