@@ -12,6 +12,7 @@ from . import (
     clusters,
     contamination,
     dedup,
+    dupspans,
     events,
     heavyhitters,
     invindex,
@@ -33,7 +34,8 @@ from . import (
     vocab,
 )
 
-_MODULES = (dedup, normalize, sampling, similarity, textstats, multimodal,
+_MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
+            multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, closure)

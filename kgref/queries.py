@@ -703,11 +703,15 @@ _GATE_PRIORITY = [
     # once-verified simple aggregates (events_agg, top_users — moved
     # just below the boundary; both unchanged since r03 and covered by
     # scripts/check_oracle_parity.py)
-    "annotate_lemma", "clinical_context",
-    # r1–r3 ops the r04 window didn't reach
+    "annotate_lemma", "clinical_context", "dup_spans",
+    "dup_span_coverage",
+    # r1–r3 ops the r04 window didn't reach (normalize_docs and
+    # sample_docs — single-map ops, unchanged since r03, covered by
+    # scripts/check_oracle_parity.py — moved below the boundary to make
+    # room for the four never-driver-verified r5 ops above)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
-    "normalize_docs", "sample_docs", "sample_stratified",
+    "sample_stratified",
     "sample_per_lang", "token_stats", "quality_score", "lang_id",
     "doc_fingerprint", "repetition_stats", "events_windowed",
     "events_sessions", "events_window_funcs", "events_topn_per_user",
@@ -716,7 +720,7 @@ _GATE_PRIORITY = [
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
-    "events_agg", "top_users",
+    "events_agg", "top_users", "normalize_docs", "sample_docs",
     "class_bfs", "class_clustering", "class_by_lang",
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",
