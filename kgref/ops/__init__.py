@@ -17,6 +17,7 @@ from . import (
     heavyhitters,
     invindex,
     kgraph,
+    kgsplit,
     lm,
     multimodal,
     normalize,
@@ -38,7 +39,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch, heavyhitters, invindex, kgraph, closure)
+            sketch, heavyhitters, invindex, kgraph, kgsplit, closure)
 
 
 def register_queries(q: dict) -> None:

@@ -704,16 +704,17 @@ _GATE_PRIORITY = [
     # just below the boundary; both unchanged since r03 and covered by
     # scripts/check_oracle_parity.py)
     "annotate_lemma", "clinical_context", "dup_spans",
-    "dup_span_coverage",
-    # r1–r3 ops the r04 window didn't reach (normalize_docs and
-    # sample_docs — single-map ops, unchanged since r03, covered by
-    # scripts/check_oracle_parity.py — moved below the boundary to make
-    # room for the four never-driver-verified r5 ops above)
+    "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
+    "shuffle_shards",
+    # r1–r3 ops the r04 window didn't reach (normalize_docs,
+    # sample_docs, sample_stratified, sample_per_lang and
+    # repetition_stats — single-map ops, unchanged since r03, covered
+    # by scripts/check_oracle_parity.py — moved below the boundary to
+    # make room for the seven never-driver-verified r5 ops above)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
-    "sample_stratified",
-    "sample_per_lang", "token_stats", "quality_score", "lang_id",
-    "doc_fingerprint", "repetition_stats", "events_windowed",
+    "token_stats", "quality_score", "lang_id",
+    "doc_fingerprint", "events_windowed",
     "events_sessions", "events_window_funcs", "events_topn_per_user",
     "events_asof_join", "events_rolling_1h",
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
@@ -721,6 +722,7 @@ _GATE_PRIORITY = [
     "class_jaccard", "cooccur_components", "class_lift",
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
     "events_agg", "top_users", "normalize_docs", "sample_docs",
+    "sample_stratified", "sample_per_lang", "repetition_stats",
     "class_bfs", "class_clustering", "class_by_lang",
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",
