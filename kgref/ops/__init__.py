@@ -18,6 +18,7 @@ from . import (
     invindex,
     kgraph,
     kgsplit,
+    mixture,
     lm,
     multimodal,
     normalize,
@@ -39,7 +40,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch, heavyhitters, invindex, kgraph, kgsplit, closure)
+            sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure)
 
 
 def register_queries(q: dict) -> None:

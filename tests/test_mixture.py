@@ -1,0 +1,50 @@
+"""Token-budget mixture sampling (kgref.ops.mixture): greedy prefix-fill
+semantics against a brute-force single-process recomputation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from kgref.ops.mixture import (
+    _OFF_MIX,
+    DEFAULT_TOKEN_BUDGET,
+    TOKEN_BUDGETS,
+    splitmix64,
+    token_budget_mix,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _budget(lang: str) -> int:
+    return TOKEN_BUDGETS.get(lang, DEFAULT_TOKEN_BUDGET)
+
+
+def test_token_budget_mix_matches_bruteforce(ray_session):
+    got = (token_budget_mix(SF).to_pandas()
+           .sort_values(["lang", "cum_before"]).reset_index(drop=True))
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"]).to_pandas()
+    t["n_tokens"] = t["text"].str.split(" ").str.len()
+    t["h"] = splitmix64(
+        t["doc_id"].to_numpy(np.uint64) + np.uint64(_OFF_MIX))
+    t = t.sort_values(["lang", "h", "doc_id"])
+    t["cum_before"] = (t.groupby("lang")["n_tokens"].cumsum()
+                       - t["n_tokens"])
+    want = (t[t["cum_before"] < t["lang"].map(_budget)]
+            [["doc_id", "lang", "n_tokens", "cum_before"]]
+            .sort_values(["lang", "cum_before"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # greedy-fill invariants: per lang the kept prefix is contiguous
+    # (cum_before of the k-th kept doc == sum of the earlier kept ones)
+    # and the fill stops only once the budget is reached
+    for lang, g in got.groupby("lang"):
+        g = g.sort_values("cum_before")
+        expect = np.concatenate([[0], g["n_tokens"].cumsum().to_numpy()[:-1]])
+        assert (g["cum_before"].to_numpy() == expect).all()
+        assert g["cum_before"].iloc[-1] < _budget(lang)
+        # every language in this fixture saturates its budget
+        assert g["cum_before"].iloc[-1] + g["n_tokens"].iloc[-1] \
+            >= _budget(lang)
