@@ -1314,7 +1314,113 @@ SELECT node AS class_uri, min(r) AS entity_id FROM reach GROUP BY node
 """
 
 
+def class_semantic_sim(sf_dir: str):
+    """(class_a, class_b, lca_uri, path_len) — ontology-based semantic
+    similarity for every co-occurrence edge: the lowest common ancestor
+    through the is-a DAG (minimum combined up-distance; identity
+    counts, so a direct ancestor pair has path_len = its closure
+    distance) and the up-up path length through it.  The
+    BioPortal-ecosystem "semantic similarity" service shape, computed
+    over the graph the annotator itself extracted; pairs with NO
+    common ancestor (cross-ontology forests) are omitted.  Ties break
+    to the lexicographically smallest ancestor URI.
+
+    Scale shape: the is-a closure rides as ONE broadcast numpy CSR
+    (class-dimension — the annotate stage's own closure budget, sorted
+    vocab + per-class sorted ancestor ids), and each edge batch
+    resolves its LCAs with a single vectorized sorted-key
+    intersection: expand both endpoints' ancestor sets via CSR
+    repeat/take (keys = edge·C + anc, ascending by construction),
+    ``np.intersect1d`` on the two key arrays, then a lexsort
+    first-in-run argmin per edge.  No per-edge Python, nothing but the
+    class-dimension CSR ever leaves the edge partition."""
+    import ray
+
+    from ..docdict import _closure, tables
+
+    uris = sorted(r["class_uri"] for r in tables()["classes"].to_pylist())
+    idx = {u: i for i, u in enumerate(uris)}
+    n_cls = len(uris)
+    per: list[list[tuple[int, int]]] = [[(i, 0)] for i in range(n_cls)]
+    for a, b, d in _closure():
+        per[idx[a]].append((idx[b], d))
+    indptr = np.zeros(n_cls + 1, np.int64)
+    flat_anc: list[int] = []
+    flat_d: list[int] = []
+    for i, lst in enumerate(per):
+        lst.sort()
+        indptr[i + 1] = indptr[i] + len(lst)
+        flat_anc.extend(x for x, _ in lst)
+        flat_d.extend(dd for _, dd in lst)
+    ref = ray.put((np.array(uris), indptr,
+                   np.array(flat_anc, np.int64), np.array(flat_d, np.int64)))
+
+    edges = class_cooccurrence(sf_dir)
+
+    def lca(t: pa.Table) -> pa.Table:
+        vocab, ptr, anc, dst = ray.get(ref)
+        ia = np.searchsorted(vocab, t.column("class_a").to_numpy(
+            zero_copy_only=False))
+        ib = np.searchsorted(vocab, t.column("class_b").to_numpy(
+            zero_copy_only=False))
+        n_e = len(ia)
+
+        def expand(ii: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            deg = ptr[ii + 1] - ptr[ii]
+            tot = int(deg.sum())
+            starts = np.repeat(ptr[ii], deg)
+            within = np.arange(tot) - np.repeat(np.cumsum(deg) - deg, deg)
+            pos = starts + within
+            edge = np.repeat(np.arange(n_e, dtype=np.int64), deg)
+            return edge * n_cls + anc[pos], dst[pos]
+
+        ka, da = expand(ia)
+        kb, db = expand(ib)
+        common, i1, i2 = np.intersect1d(ka, kb, assume_unique=True,
+                                        return_indices=True)
+        path = da[i1] + db[i2]
+        eidx = common // n_cls
+        aidx = common % n_cls
+        order = np.lexsort((aidx, path, eidx))
+        eidx, aidx, path = eidx[order], aidx[order], path[order]
+        first = np.ones(len(eidx), bool)
+        first[1:] = eidx[1:] != eidx[:-1]
+        take = pa.array(eidx[first])
+        return pa.Table.from_arrays(
+            [t.column("class_a").take(take), t.column("class_b").take(take),
+             pa.array(vocab[aidx[first]], pa.string()),
+             pa.array(path[first])],
+            names=["class_a", "class_b", "lca_uri", "path_len"])
+
+    return edges.map_batches(lca, batch_format="pyarrow")
+
+
+def class_semantic_sim_sql() -> str:
+    from ..docdict import sql_closure_cte
+
+    return f"""
+WITH {_cooc_cte()}, {sql_closure_cte()},
+nodes AS (SELECT class_a AS u FROM cooc UNION SELECT class_b FROM cooc),
+anc AS (SELECT class_uri, ancestor_uri, CAST(distance AS BIGINT) AS d
+        FROM clo
+        UNION ALL SELECT u, u, 0 FROM nodes),
+cand AS (SELECT c.class_a, c.class_b, x.ancestor_uri AS anc,
+                x.d + y.d AS path
+         FROM cooc c
+         JOIN anc x ON x.class_uri = c.class_a
+         JOIN anc y ON y.class_uri = c.class_b
+              AND y.ancestor_uri = x.ancestor_uri),
+r AS (SELECT *, row_number() OVER (PARTITION BY class_a, class_b
+                                   ORDER BY path, anc) AS rn FROM cand)
+SELECT class_a, class_b, anc AS lca_uri, CAST(path AS BIGINT) AS path_len
+FROM r WHERE rn = 1
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
+    q["class_semantic_sim"] = class_semantic_sim
+    if o is not None:
+        o["class_semantic_sim"] = class_semantic_sim_sql()
     q["class_pagerank"] = class_pagerank
     q["class_triangles"] = class_triangles
     q["class_cooccurrence"] = class_cooccurrence

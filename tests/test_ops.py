@@ -1939,3 +1939,34 @@ def test_kgraph_cores_on_forced_large_edge_sets(ray_session):
         got_c[cdf["doc_id"].to_numpy(np.int64)] = (
             cdf["cluster_id"].to_numpy(np.int64))
         assert (got_c == comp).all(), f"components seed {seed}"
+
+
+def test_class_semantic_sim_matches_bruteforce(ray_session):
+    """LCA choice (min combined up-distance, then min URI) and path
+    length must equal a dict-based brute force over the docdict
+    closure; edges without a common ancestor are omitted."""
+    from kgref.docdict import _closure
+    from kgref.ops.kgraph import class_cooccurrence, class_semantic_sim
+
+    anc: dict[str, dict[str, int]] = {}
+    for a, b, d in _closure():
+        anc.setdefault(a, {})[b] = d
+
+    def full(u: str) -> dict[str, int]:
+        m = dict(anc.get(u, {}))
+        m[u] = 0
+        return m
+
+    edges = class_cooccurrence(SF).take_all()
+    want = {}
+    for r in edges:
+        xa, xb = full(r["class_a"]), full(r["class_b"])
+        cands = [(xa[c] + xb[c], c) for c in xa.keys() & xb.keys()]
+        if cands:
+            path, lca = min(cands)
+            want[(r["class_a"], r["class_b"])] = (lca, path)
+
+    got = class_semantic_sim(SF).to_pandas()
+    assert {(r.class_a, r.class_b): (r.lca_uri, int(r.path_len))
+            for r in got.itertuples()} == want
+    assert want and len(want) < len(edges)  # both branches exercised
