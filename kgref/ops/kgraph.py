@@ -1417,8 +1417,91 @@ FROM r WHERE rn = 1
 """
 
 
+def ontology_coverage(sf_dir: str):
+    """(ontology, n_classes, n_matched, n_unmatched, n_annotations) —
+    the dictionary-coverage audit an annotation run reports: per
+    source ontology, how many of its classes the corpus actually
+    surfaced, and the total annotation volume.  Combiner pattern:
+    per-batch class partial counts → ONE class-cardinality Sum; the
+    dictionary side joins as a static class-dimension Dataset (it is
+    metadata, not corpus), tagged union → ontology-cardinality Sum —
+    nothing larger than the class dimension ever moves."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..docdict import tables
+
+    tri = _direct_triples(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("obj").combine_chunks())
+        return pa.Table.from_arrays(
+            [vc.field("values").cast(pa.string()),
+             pc.cast(vc.field("counts"), pa.int64())],
+            names=["class_uri", "n"])
+
+    matched = (tri.map_batches(partial, batch_format="pyarrow")
+               .groupby("class_uri").aggregate(Sum("n", alias_name="n")))
+
+    cls = tables()["classes"]
+    uri_to_ont = dict(zip(cls.column("class_uri").to_pylist(),
+                          cls.column("ontology").to_pylist()))
+
+    def tag_matched(t: pa.Table) -> pa.Table:
+        onts = [uri_to_ont[u] for u in t.column("class_uri").to_pylist()]
+        z = np.zeros(len(t), np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(onts, pa.string()), pa.array(z),
+             pa.array(np.ones(len(t), np.int64)),
+             t.column("n").cast(pa.int64())],
+            names=["ontology", "n_classes", "n_matched", "n_annotations"])
+
+    dict_side = rd.from_arrow(pa.Table.from_arrays(
+        [cls.column("ontology").cast(pa.string()),
+         pa.array(np.ones(len(cls), np.int64)),
+         pa.array(np.zeros(len(cls), np.int64)),
+         pa.array(np.zeros(len(cls), np.int64))],
+        names=["ontology", "n_classes", "n_matched", "n_annotations"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_unmatched", pc.subtract(t.column("n_classes"),
+                                       t.column("n_matched")))
+
+    return (matched.map_batches(tag_matched, batch_format="pyarrow")
+            .union(dict_side)
+            .groupby("ontology")
+            .aggregate(Sum("n_classes", alias_name="n_classes"),
+                       Sum("n_matched", alias_name="n_matched"),
+                       Sum("n_annotations", alias_name="n_annotations"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def ontology_coverage_sql() -> str:
+    from ..docdict import sql_classes_cte
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}), {sql_classes_cte()},
+m AS (SELECT obj AS class_uri, count(*) AS n FROM tri
+      WHERE pred = 'annotated_with' GROUP BY obj)
+SELECT c.ontology,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(m.class_uri) AS BIGINT) AS n_matched,
+       CAST(coalesce(sum(m.n), 0) AS BIGINT) AS n_annotations,
+       CAST(count(*) - count(m.class_uri) AS BIGINT) AS n_unmatched
+FROM cls c LEFT JOIN m ON m.class_uri = c.class_uri
+GROUP BY c.ontology
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_semantic_sim"] = class_semantic_sim
+    q["ontology_coverage"] = ontology_coverage
+    if o is not None:
+        o["ontology_coverage"] = ontology_coverage_sql()
     if o is not None:
         o["class_semantic_sim"] = class_semantic_sim_sql()
     q["class_pagerank"] = class_pagerank

@@ -706,6 +706,7 @@ _GATE_PRIORITY = [
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
+    "ontology_coverage",
     # r1–r3 ops the r04 window didn't reach (normalize_docs,
     # sample_docs, sample_stratified, sample_per_lang, lang_id,
     # quality_score and repetition_stats — single-map ops, unchanged
@@ -714,7 +715,6 @@ _GATE_PRIORITY = [
     # verified r5 ops above)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
-    "token_stats",
     "doc_fingerprint", "events_windowed",
     "events_sessions", "events_window_funcs", "events_topn_per_user",
     "events_asof_join", "events_rolling_1h",
@@ -724,7 +724,7 @@ _GATE_PRIORITY = [
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
     "events_agg", "top_users", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
-    "quality_score",
+    "quality_score", "token_stats",
     "class_bfs", "class_clustering", "class_by_lang",
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",

@@ -1970,3 +1970,21 @@ def test_class_semantic_sim_matches_bruteforce(ray_session):
     assert {(r.class_a, r.class_b): (r.lca_uri, int(r.path_len))
             for r in got.itertuples()} == want
     assert want and len(want) < len(edges)  # both branches exercised
+
+
+def test_ontology_coverage_audit(ray_session):
+    """Per-ontology tallies must be internally consistent and agree
+    with the dictionary class table and the direct triple volume."""
+    from kgref.docdict import tables
+    from kgref.ops.kgraph import _direct_triples, ontology_coverage
+
+    got = ontology_coverage(SF).to_pandas().set_index("ontology")
+    cls = tables()["classes"].to_pandas()
+    per_ont = cls.groupby("ontology").size()
+    assert set(got.index) == set(per_ont.index)
+    assert (got["n_classes"] == per_ont[got.index]).all()
+    assert (got["n_matched"] + got["n_unmatched"] == got["n_classes"]).all()
+    tri = _direct_triples(SF).to_pandas()
+    tri = tri[tri["pred"] == "annotated_with"]
+    assert got["n_annotations"].sum() == len(tri)
+    assert (got["n_matched"] > 0).all()
