@@ -1497,9 +1497,92 @@ GROUP BY c.ontology
 """
 
 
+_PROX_WINDOW = 12  # max chars between spans (≈ two tokens)
+
+
+def class_proximity(sf_dir: str, window: int = _PROX_WINDOW):
+    """(class_a, class_b, n_pairs, min_gap) — relation-extraction
+    CANDIDATE generation: pairs of different classes whose mention
+    spans sit within ``window`` characters of each other in the same
+    turn (gap = chars strictly between the spans; negative when they
+    overlap/nest).  Proximity is the classic first filter before a
+    relation classifier — co-occurrence (class_cooccurrence) says
+    "same turn", this says "adjacent in the text".
+
+    Scale shape: the flagship's conv-bucket exchange co-locates whole
+    turns, then one numpy pass per bucket — lexsort by (turn, span),
+    exact ``pairs_in_runs``, vectorized gap/window/class filters, and
+    a per-bucket (class_a, class_b) partial aggregate — so the second
+    exchange carries edge-cardinality partials, never span pairs.
+    Span pairs within a turn are quadratic in the turn's annotation
+    count, the same bound class_cooccurrence already accepts (turns
+    are short by construction)."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.materialize import add_bucket_column
+    from .pairs import pairs_in_runs
+
+    tri = _direct_triples(sf_dir).map_batches(
+        lambda b: add_bucket_column(
+            b.select(["conv_id", "turn_idx", "obj", "from_1b", "to_1b"]),
+            _COOC_BUCKETS),
+        batch_format="pyarrow")
+
+    def prox(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["conv_id"].str.slice(5).astype(np.int64)
+        doc = (conv * _TURNS_PER_CONV
+               + df["turn_idx"].astype(np.int64)).to_numpy()
+        frm = df["from_1b"].to_numpy(np.int64)
+        to = df["to_1b"].to_numpy(np.int64)
+        obj = df["obj"].to_numpy()
+        order = np.lexsort((obj, to, frm, doc))
+        doc, frm, to, obj = doc[order], frm[order], to[order], obj[order]
+        ia, ib = pairs_in_runs(doc, None)  # exact: oracle-matched
+        gap = np.maximum(frm[ia], frm[ib]) - np.minimum(to[ia], to[ib]) - 1
+        keep = (obj[ia] != obj[ib]) & (gap <= window)
+        ia, ib, gap = ia[keep], ib[keep], gap[keep]
+        a = np.minimum(obj[ia], obj[ib])
+        b = np.maximum(obj[ia], obj[ib])
+        part = pd.DataFrame({"class_a": a, "class_b": b, "gap": gap})
+        g = part.groupby(["class_a", "class_b"], sort=False)["gap"]
+        out = g.agg(["size", "min"]).reset_index()
+        out.columns = ["class_a", "class_b", "n_pairs", "min_gap"]
+        return out
+
+    return (tri.groupby("bucket").map_groups(prox, batch_format="pandas")
+            .groupby(["class_a", "class_b"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                       Min("min_gap", alias_name="min_gap")))
+
+
+def class_proximity_sql(window: int = _PROX_WINDOW) -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}),
+s AS (SELECT conv_id, turn_idx, obj, from_1b, to_1b FROM tri
+      WHERE pred = 'annotated_with'),
+p AS (SELECT CASE WHEN a.obj < b.obj THEN a.obj ELSE b.obj END AS class_a,
+             CASE WHEN a.obj < b.obj THEN b.obj ELSE a.obj END AS class_b,
+             greatest(a.from_1b, b.from_1b)
+               - least(a.to_1b, b.to_1b) - 1 AS gap
+      FROM s a JOIN s b USING (conv_id, turn_idx)
+      WHERE (a.from_1b, a.to_1b, a.obj) < (b.from_1b, b.to_1b, b.obj)
+        AND a.obj <> b.obj)
+SELECT class_a, class_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(gap) AS BIGINT) AS min_gap
+FROM p WHERE gap <= {window} GROUP BY class_a, class_b
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_semantic_sim"] = class_semantic_sim
     q["ontology_coverage"] = ontology_coverage
+    q["class_proximity"] = class_proximity
+    if o is not None:
+        o["class_proximity"] = class_proximity_sql()
     if o is not None:
         o["ontology_coverage"] = ontology_coverage_sql()
     if o is not None:

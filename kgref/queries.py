@@ -706,16 +706,17 @@ _GATE_PRIORITY = [
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
-    "ontology_coverage",
+    "ontology_coverage", "class_proximity",
     # r1–r3 ops the r04 window didn't reach (normalize_docs,
     # sample_docs, sample_stratified, sample_per_lang, lang_id,
-    # quality_score and repetition_stats — single-map ops, unchanged
-    # since r03, covered by scripts/check_oracle_parity.py — moved
-    # below the boundary to make room for the nine never-driver-
-    # verified r5 ops above)
+    # quality_score, token_stats, repetition_stats and doc_fingerprint
+    # — single-map ops covered by scripts/check_oracle_parity.py, and
+    # doc_fingerprint/sample_per_lang additionally judge-rerun against
+    # their oracles in the r4 session — moved below the boundary to
+    # make room for the eleven never-driver-verified r5 ops above)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
-    "doc_fingerprint", "events_windowed",
+    "events_windowed",
     "events_sessions", "events_window_funcs", "events_topn_per_user",
     "events_asof_join", "events_rolling_1h",
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
@@ -724,7 +725,7 @@ _GATE_PRIORITY = [
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
     "events_agg", "top_users", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
-    "quality_score", "token_stats",
+    "quality_score", "token_stats", "doc_fingerprint",
     "class_bfs", "class_clustering", "class_by_lang",
     "class_cooccurrence", "class_degree", "isa_closure_full",
     "class_rollup", "disambiguate_spans", "entity_components",

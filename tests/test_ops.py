@@ -1988,3 +1988,31 @@ def test_ontology_coverage_audit(ray_session):
     tri = tri[tri["pred"] == "annotated_with"]
     assert got["n_annotations"].sum() == len(tri)
     assert (got["n_matched"] > 0).all()
+
+
+def test_class_proximity_matches_bruteforce(ray_session):
+    """Pair counts and min gaps within the char window must equal an
+    itertools brute force over the span list."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from kgref.ops.kgraph import _PROX_WINDOW, _direct_triples, class_proximity
+
+    tri = _direct_triples(SF).to_pandas()
+    tri = tri[tri["pred"] == "annotated_with"]
+    want: dict[tuple, list] = defaultdict(list)
+    for _, g in tri.groupby(["conv_id", "turn_idx"]):
+        spans = list(zip(g["from_1b"], g["to_1b"], g["obj"]))
+        spans.sort()
+        for (f1, t1, o1), (f2, t2, o2) in combinations(spans, 2):
+            if o1 == o2:
+                continue
+            gap = max(f1, f2) - min(t1, t2) - 1
+            if gap <= _PROX_WINDOW:
+                want[(min(o1, o2), max(o1, o2))].append(gap)
+
+    got = class_proximity(SF).to_pandas()
+    assert {(r.class_a, r.class_b): (int(r.n_pairs), int(r.min_gap))
+            for r in got.itertuples()} == \
+        {k: (len(v), min(v)) for k, v in want.items()}
+    assert want  # non-degenerate
