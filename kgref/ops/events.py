@@ -477,7 +477,70 @@ FROM events e ASOF LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
 """
 
 
+def latest_per_key(sf_dir: str, n_parts: int | None = None):
+    """(user_id, event_type, event_id, ts_us, value) — CDC/upsert
+    compaction: the LATEST event per (user, type) key, ordered by
+    (ts, event_id) so ties are deterministic.  The "keep the newest
+    version of each row" step every changelog→snapshot pipeline runs.
+
+    Scale shape: a per-batch keep-latest partial FIRST (one vectorized
+    sort + drop_duplicates per batch shrinks the exchange from
+    event-count to keys-per-batch), then the module's standard coarse
+    user-partition exchange finishes exactly — keys never split across
+    partitions, so group-local keep-first is globally correct.
+    Timestamps travel as exact int64 µs (the module convention)."""
+    import ray.data as rd
+
+    from .pairs import n_parts_for
+
+    path = f"{sf_dir}/events.parquet"
+    np_parts = n_parts or n_parts_for(path)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "event_type": t.column("event_type").to_pandas(),
+            "event_id": t.column("event_id").to_numpy(),
+            "ts_us": t.column("ts").cast(pa.int64()).to_numpy(),
+            "value": t.column("value").to_numpy(),
+        })
+        df = (df.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                             ascending=[True, True, False, False],
+                             kind="mergesort")
+              .drop_duplicates(["user_id", "event_type"]))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = (rd.read_parquet(path, columns=cols)
+          .map_batches(partial, batch_format="pyarrow")
+          .map_batches(lambda b: _with_part(b, np_parts),
+                       batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                             ascending=[True, True, False, False],
+                             kind="mergesort")
+              .drop_duplicates(["user_id", "event_type"]))
+        return df[["user_id", "event_type", "event_id", "ts_us", "value"]]
+
+    return ds.groupby("part").map_groups(finish, batch_format="pandas")
+
+
+def latest_per_key_sql() -> str:
+    return """
+WITH r AS (SELECT user_id, event_type, event_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_type, event_id, ts_us, value FROM r WHERE rn = 1
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
+    q["events_latest_per_key"] = latest_per_key
+    if o is not None:
+        o["events_latest_per_key"] = latest_per_key_sql()
     q["events_windowed"] = windowed_agg
     q["events_sessions"] = sessionize
     q["events_window_funcs"] = window_funcs

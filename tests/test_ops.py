@@ -2016,3 +2016,25 @@ def test_class_proximity_matches_bruteforce(ray_session):
             for r in got.itertuples()} == \
         {k: (len(v), min(v)) for k, v in want.items()}
     assert want  # non-degenerate
+
+
+def test_events_latest_per_key_matches_pandas(ray_session):
+    """CDC compaction must pick exactly the max-(ts, event_id) row per
+    (user, type), including across batch/partition boundaries (forced
+    non-default partition count)."""
+    import pyarrow.parquet as pq
+
+    from kgref.ops.events import latest_per_key
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    want = (ev.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                           ascending=[True, True, False, False])
+            .drop_duplicates(["user_id", "event_type"])
+            [["user_id", "event_type", "event_id", "ts_us", "value"]]
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+    for parts in (None, 7):
+        got = (latest_per_key(SF, n_parts=parts).to_pandas()
+               .sort_values(["user_id", "event_type"])
+               .reset_index(drop=True))
+        assert got.equals(want)
