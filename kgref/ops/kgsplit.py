@@ -418,6 +418,119 @@ FROM hh
 """
 
 
+def write_training_shards(sf_dir: str, out_dir: str,
+                          n_shards: int = N_SHARDS,
+                          part_bits: int = _SHARD_PART_BITS) -> dict:
+    """Materialize the :func:`shuffle_shards` permutation as a
+    RESUMABLE partitioned training corpus: one
+    ``out_dir/shard=SSSS/part=PPPP.parquet`` file per (shard,
+    hash-range part) — rows (pos, doc_id, lang, text) sorted by the
+    exact global in-shard position — plus a ``_manifest/`` JSON per
+    part (row count, shards touched) written atomically AFTER its
+    data, so a re-run skips finished parts BEFORE the exchange (the
+    flagship sink's resume contract, stages/materialize.py).  A
+    dataloader streams shard S in permuted order by reading its part
+    files in part order; never one giant file.  The corpus text moves
+    exactly once, through the same single coarse exchange the
+    assignment op uses."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    n_parts = 1 << part_bits
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    done = {int(f[5:-5]) for f in os.listdir(mdir)
+            if f.startswith("part-") and f.endswith(".json")}
+
+    def keyed(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(doc.astype(np.uint64) + np.uint64(_OFF_SHARD))
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        part = (h >> np.uint64(64 - part_bits)).astype(np.int64)
+        keep = ~np.isin(part, np.fromiter(done, np.int64, len(done))) \
+            if done else np.ones(len(part), bool)
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()).filter(pa.array(keep)),
+             t.column("lang").filter(pa.array(keep)),
+             t.column("text").filter(pa.array(keep)),
+             pa.array(shard[keep]), pa.array(h[keep], pa.uint64()),
+             pa.array(part[keep])],
+            names=["doc_id", "lang", "text", "shard", "h", "part"])
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "text"])
+          .map_batches(keyed, batch_format="pyarrow").materialize())
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["shard", "part"]).group_by(["shard", "part"])
+             .aggregate([("part", "count")]))
+        return pa.Table.from_arrays(
+            [g.column("shard"), g.column("part"), g.column("part_count")],
+            names=["shard", "part", "n"])
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["shard", "part"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # ≤ n_shards · n_parts rows
+    if not len(counts):
+        return {"parts": 0, "rows": 0}
+    counts = counts.sort_values(["shard", "part"], kind="mergesort")
+    # offsets must be GLOBAL (include rows in already-done parts), so a
+    # partial resume reproduces the identical positions: recompute the
+    # full per-(shard, part) counts from the manifests for done parts
+    base_counts = {(int(s), int(p)): int(n) for s, p, n in
+                   zip(counts["shard"], counts["part"], counts["n"])}
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                man = json.load(fh)
+            for s, n in man["shard_rows"].items():
+                base_counts[(int(s), man["part"])] = int(n)
+    keys = sorted(base_counts)
+    offs: dict[tuple[int, int], int] = {}
+    acc_shard, acc = -1, 0
+    for s, p in keys:
+        if s != acc_shard:
+            acc_shard, acc = s, 0
+        offs[(s, p)] = acc
+        acc += base_counts[(s, p)]
+    off_ref = ray.put(offs)
+
+    def write_part(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        lut = ray.get(off_ref)
+        pid = int(df["part"].iloc[0])
+        df = df.sort_values(["shard", "h", "doc_id"], kind="mergesort")
+        within = df.groupby("shard", sort=False).cumcount().to_numpy()
+        codes, uniq = pd.factorize(df["shard"].to_numpy())
+        base = np.array([lut[(int(s), pid)] for s in uniq], np.int64)
+        df = df.assign(pos=base[codes] + within)
+        shard_rows = {}
+        for s, g in df.groupby("shard", sort=True):
+            sdir = os.path.join(out_dir, f"shard={int(s):04d}")
+            os.makedirs(sdir, exist_ok=True)
+            out = g.sort_values("pos")[["pos", "doc_id", "lang", "text"]]
+            tmp = os.path.join(sdir, f".part={pid:04d}.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                           tmp, compression="zstd")
+            os.rename(tmp, os.path.join(sdir, f"part={pid:04d}.parquet"))
+            shard_rows[int(s)] = len(g)
+        tmp = os.path.join(mdir, f".part-{pid}.json.tmp")
+        with open(tmp, "w") as fh:  # manifest AFTER data: crash-safe
+            json.dump({"part": pid, "rows": len(df),
+                       "shard_rows": shard_rows}, fh)
+        os.rename(tmp, os.path.join(mdir, f"part-{pid}.json"))
+        return pd.DataFrame({"part": [pid], "rows": [len(df)]})
+
+    res = (ds.groupby("part")
+           .map_groups(write_part, batch_format="pandas").to_pandas())
+    return {"parts": int(len(res)), "rows": int(res["rows"].sum())}
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["kg_train_split"] = kg_train_split
     q["kg_negative_sampling"] = kg_negative_sampling

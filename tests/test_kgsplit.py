@@ -81,3 +81,57 @@ def test_shuffle_shards_matches_bruteforce_permutation(ray_session):
     # exact permutation: positions are 0..n_s-1 within every shard
     for _, g in got.groupby("shard"):
         assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_write_training_shards_resumable(ray_session, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from kgref.ops.kgsplit import write_training_shards
+
+    out = str(tmp_path / "shards")
+    m = write_training_shards(SF, out)
+    assert m["rows"] == 500 and m["parts"] > 0
+
+    # read-back reproduces the shuffle_shards assignment exactly
+    files = sorted(glob.glob(f"{out}/shard=*/part=*.parquet"))
+    assert len(files) >= m["parts"]  # a part may touch several shards
+    frames = []
+    for f in files:
+        s = int(f.split("shard=")[1][:4])
+        df = pq.read_table(f).to_pandas()
+        df["shard"] = s
+        frames.append(df)
+    got = (pd.concat(frames)[["doc_id", "shard", "pos"]]
+           .sort_values(["shard", "pos"]).reset_index(drop=True))
+    want = (shuffle_shards(SF).to_pandas()
+            .sort_values(["shard", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # resume no-op: everything manifest-skipped
+    m2 = write_training_shards(SF, out)
+    assert m2 == {"parts": 0, "rows": 0}
+
+    # partial resume: drop one part (files + manifest) → only it returns,
+    # and its rewritten positions are identical (global offsets restored
+    # from the surviving manifests)
+    victims = glob.glob(f"{out}/shard=*/part=0000.parquet")
+    assert victims
+    for v in victims:
+        os.remove(v)
+    os.remove(f"{out}/_manifest/part-0.json")
+    m3 = write_training_shards(SF, out)
+    assert m3["parts"] == 1 and m3["rows"] > 0
+    frames = []
+    for f in sorted(glob.glob(f"{out}/shard=*/part=*.parquet")):
+        s = int(f.split("shard=")[1][:4])
+        df = pq.read_table(f).to_pandas()
+        df["shard"] = s
+        frames.append(df)
+    got2 = (pd.concat(frames)[["doc_id", "shard", "pos"]]
+            .sort_values(["shard", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    shutil.rmtree(out, ignore_errors=True)
