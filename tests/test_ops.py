@@ -2038,3 +2038,24 @@ def test_events_latest_per_key_matches_pandas(ray_session):
                .sort_values(["user_id", "event_type"])
                .reset_index(drop=True))
         assert got.equals(want)
+
+
+def test_fold_m61_invariant_to_chunk_split(monkeypatch):
+    """The r5 cache-sized block walk (m61._CHUNK_CHARS) must not change
+    a single hash: force pathological chunk sizes (1 char — every
+    string larger than a block; odd prime; huge) and compare against
+    the unchunked result and the Horner scalar."""
+    import kgref.ops.m61 as m61
+
+    def horner(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * m61.FOLD_BASE + ord(ch)) % m61.FOLD_MOD
+        return h
+
+    texts = ["", "a", "chunk boundary " * 40, "\U0001F600" * 7,
+             "z" * 1337, *(f"doc-{i}-{'x' * (i % 97)}" for i in range(300))]
+    want = np.array([horner(t) for t in texts], dtype=np.uint64)
+    for chunk in (1, 101, 1 << 30):
+        monkeypatch.setattr(m61, "_CHUNK_CHARS", chunk)
+        np.testing.assert_array_equal(m61.fold_m61_many(texts), want)
