@@ -133,7 +133,116 @@ FROM c WHERE cum_before < {budget}
 """
 
 
+_OFF_CUR = 27_272_727
+N_QUALITY_BUCKETS = 10
+
+
+def curriculum_order(sf_dir: str, n_buckets: int = N_QUALITY_BUCKETS,
+                     part_bits: int = _MIX_PART_BITS):
+    """(doc_id, bucket, pos) — curriculum export: the easy-to-hard
+    global training order.  Docs are ranked by quality bucket
+    DESCENDING (the ops/textstats quality heuristic, rendered in EXACT
+    integer arithmetic: ``bucket = (B·min(50,n_tok)·(n_tok−n_stop)) //
+    (50·n_tok)``, clamped to B−1, so no float boundary can disagree
+    with the SQL twin), shuffled within each bucket by an independent
+    splitmix64 stream.  pos is the exact global position — the same
+    two-phase rank as :func:`kgref.ops.kgsplit.shuffle_shards` (count
+    combiner → broadcast exclusive offsets → ONE coarse hash-range
+    exchange), with offsets accumulated bucket-descending."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .textstats import STOP_TOKENS, _tokens_column
+
+    n_parts = 1 << part_bits
+
+    def keyed(t: pa.Table) -> pa.Table:
+        toks = _tokens_column(t)
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        parents = np.repeat(np.arange(len(t)), n_tok)
+        is_stop = pc.is_in(flat, value_set=pa.array(STOP_TOKENS)).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(parents, weights=is_stop,
+                             minlength=len(t)).astype(np.int64)
+        bucket = np.minimum(
+            n_buckets * np.minimum(50, n_tok) * (n_tok - n_stop)
+            // (50 * n_tok),
+            n_buckets - 1)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(doc.astype(np.uint64) + np.uint64(_OFF_CUR))
+        part = (h >> np.uint64(64 - part_bits)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), pa.array(bucket),
+             pa.array(h, pa.uint64()), pa.array(part)],
+            names=["doc_id", "bucket", "h", "part"])
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+          .map_batches(keyed, batch_format="pyarrow").materialize())
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["bucket", "part"]).group_by(["bucket", "part"])
+             .aggregate([("part", "count")]))
+        return pa.Table.from_arrays(
+            [g.column("bucket"), g.column("part"), g.column("part_count")],
+            names=["bucket", "part", "n"])
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(["bucket", "part"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())  # ≤ n_buckets · n_parts rows
+    counts = counts.sort_values(["bucket", "part"],
+                                ascending=[False, True], kind="mergesort")
+    cum = counts["n"].cumsum().to_numpy() - counts["n"].to_numpy()
+    offs = np.zeros(n_buckets * n_parts, np.int64)
+    offs[counts["bucket"].to_numpy(np.int64) * n_parts
+         + counts["part"].to_numpy(np.int64)] = cum
+    off_ref = ray.put(offs)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(off_ref)
+        df = df.sort_values(["bucket", "h", "doc_id"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+        base = lut[df["bucket"].to_numpy(np.int64) * n_parts
+                   + df["part"].to_numpy(np.int64)]
+        within = df.groupby("bucket", sort=False).cumcount().to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "bucket": df["bucket"].to_numpy(np.int64),
+            "pos": base + within})
+
+    return ds.groupby("part").map_groups(rank, batch_format="pandas")
+
+
+def curriculum_order_sql(n_buckets: int = N_QUALITY_BUCKETS) -> str:
+    from .textstats import STOP_TOKENS
+
+    stops = ", ".join(f"'{s}'" for s in STOP_TOKENS)
+    return f"""
+WITH b AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+    CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ({stops}))) AS BIGINT) AS n_stop,
+    (CAST(doc_id AS HUGEINT) + {_OFF_CUR}) % {_M64} AS x
+  FROM documents),
+{_sql_hash_cols('x', 'b')},
+c AS (SELECT doc_id,
+             least({n_buckets} * least(50, n_tok) * (n_tok - n_stop)
+                   // (50 * n_tok), {n_buckets - 1}) AS bucket, h
+      FROM hh)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(row_number() OVER (ORDER BY bucket DESC, h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM c
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["token_budget_mix"] = token_budget_mix
+    q["curriculum_order"] = curriculum_order
     if o is not None:
         o["token_budget_mix"] = token_budget_mix_sql()
+        o["curriculum_order"] = curriculum_order_sql()

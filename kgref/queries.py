@@ -716,16 +716,17 @@ _GATE_PRIORITY = [
     # make room for the eleven never-driver-verified r5 ops above)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
-    "events_windowed", "events_latest_per_key",
-    # (events_window_funcs demoted below the boundary: judge-rerun
-    # against its oracle in the r4 session, sweep-covered)
+    "events_latest_per_key", "curriculum_order",
+    # (events_windowed and events_window_funcs demoted below the
+    # boundary: both judge-rerun against their oracles in the r4
+    # session, sweep-covered)
     "events_sessions", "events_topn_per_user",
     "events_asof_join", "events_rolling_1h",
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
-    "events_agg", "top_users", "events_window_funcs",
+    "events_agg", "top_users", "events_window_funcs", "events_windowed",
     "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint",

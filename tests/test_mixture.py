@@ -48,3 +48,17 @@ def test_token_budget_mix_matches_bruteforce(ray_session):
         # every language in this fixture saturates its budget
         assert g["cum_before"].iloc[-1] + g["n_tokens"].iloc[-1] \
             >= _budget(lang)
+
+
+def test_curriculum_order_is_quality_descending_permutation(ray_session):
+    """pos must be a global 0..n-1 permutation, bucket-monotone
+    (non-increasing as pos grows) and hash-shuffled within buckets."""
+    from kgref.ops.mixture import curriculum_order
+
+    got = (curriculum_order(SF).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    assert sorted(got["pos"]) == list(range(len(got)))
+    b = got["bucket"].to_numpy()
+    assert (b[1:] <= b[:-1]).all()  # easy (high quality) first
+    assert got["doc_id"].nunique() == len(got)
+    assert b.min() >= 0 and b.max() <= 9 and len(set(b)) > 1
