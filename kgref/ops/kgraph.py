@@ -1577,12 +1577,90 @@ FROM p WHERE gap <= {window} GROUP BY class_a, class_b
 """
 
 
+def annotation_density(sf_dir: str):
+    """(doc_id, n_annotations, n_tokens, density_ppm) — per-document
+    annotation QC: direct-annotation count per whitespace token in
+    exact integer ppm (``10^6·n_ann // n_tok``), INCLUDING
+    zero-annotation documents (the rows a KG-build QC pass actually
+    hunts for — unannotatable inputs).  No join: the triple side emits
+    (doc, n_ann, 0) partials, the corpus side emits (doc, 0, n_tok),
+    and ONE doc-keyed Sum combines both — the union-combiner shape
+    class_rollup uses, so nothing wider than (int64, int64, int64)
+    ever shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tri = _direct_triples(sf_dir)
+    tpc = _TURNS_PER_CONV
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        conv = pc.utf8_slice_codeunits(
+            t.column("conv_id").cast(pa.string()), 5, 2**31 - 1)
+        doc = pc.add(
+            pc.multiply(pc.cast(conv, pa.int64()),
+                        pa.scalar(tpc, pa.int64())),
+            t.column("turn_idx").cast(pa.int64()))
+        vc = pc.value_counts(doc.combine_chunks())
+        n = len(vc)
+        return pa.Table.from_arrays(
+            [vc.field("values").cast(pa.int64()),
+             pc.cast(vc.field("counts"), pa.int64()),
+             pa.array(np.zeros(n, np.int64))],
+            names=["doc_id", "n_annotations", "n_tokens"])
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.list_value_length(
+            pc.split_pattern(t.column("text"), pattern=" ")), pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()),
+             pa.array(np.zeros(len(t), np.int64)), n_tok],
+            names=["doc_id", "n_annotations", "n_tokens"])
+
+    docs = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(doc_side, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ann = t.column("n_annotations").to_numpy(zero_copy_only=False)
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "density_ppm", pa.array(1_000_000 * ann // tok))
+
+    return (tri.map_batches(tri_partial, batch_format="pyarrow")
+            .union(docs)
+            .groupby("doc_id")
+            .aggregate(Sum("n_annotations", alias_name="n_annotations"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def annotation_density_sql() -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}),
+a AS (SELECT CAST(substr(conv_id, 6) AS BIGINT) * {_TURNS_PER_CONV}
+             + turn_idx AS doc_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE pred = 'annotated_with' GROUP BY 1)
+SELECT d.doc_id, COALESCE(a.n, 0) AS n_annotations,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       1000000 * COALESCE(a.n, 0)
+         // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS density_ppm
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["class_semantic_sim"] = class_semantic_sim
     q["ontology_coverage"] = ontology_coverage
     q["class_proximity"] = class_proximity
+    q["annotation_density"] = annotation_density
     if o is not None:
         o["class_proximity"] = class_proximity_sql()
+        o["annotation_density"] = annotation_density_sql()
     if o is not None:
         o["ontology_coverage"] = ontology_coverage_sql()
     if o is not None:

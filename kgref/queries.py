@@ -697,8 +697,10 @@ _GATE_PRIORITY = [
     "annotate_mappings", "annotate_longest", "annotate_score_old",
     "annotate_score_cvalue", "annotate_score_cvalueh", "annotate_subword",
     "annotate_exclude_numbers", "annotate_with_numbers",
-    "conv_turns", "conv_triple_counts", "conv_subgraph",
+    "conv_triple_counts", "conv_subgraph",
     "class_frequencies",
+    # (conv_turns demoted below the boundary: the simplest count
+    # aggregate, unchanged since r03, sweep-covered)
     # NEW in r5 — never driver-verified, so they outrank two stale-but-
     # once-verified simple aggregates (events_agg, top_users — moved
     # just below the boundary; both unchanged since r03 and covered by
@@ -716,7 +718,7 @@ _GATE_PRIORITY = [
     # make room for the eleven never-driver-verified r5 ops above)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
-    "events_latest_per_key", "curriculum_order",
+    "events_latest_per_key", "curriculum_order", "annotation_density",
     # (events_windowed and events_window_funcs demoted below the
     # boundary: both judge-rerun against their oracles in the r4
     # session, sweep-covered)
@@ -727,7 +729,7 @@ _GATE_PRIORITY = [
     "class_jaccard", "cooccur_components", "class_lift",
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
     "events_agg", "top_users", "events_window_funcs", "events_windowed",
-    "normalize_docs", "sample_docs",
+    "conv_turns", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint",
     "class_bfs", "class_clustering", "class_by_lang",

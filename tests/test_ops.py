@@ -2059,3 +2059,20 @@ def test_fold_m61_invariant_to_chunk_split(monkeypatch):
     for chunk in (1, 101, 1 << 30):
         monkeypatch.setattr(m61, "_CHUNK_CHARS", chunk)
         np.testing.assert_array_equal(m61.fold_m61_many(texts), want)
+
+
+def test_annotation_density_covers_every_doc(ray_session):
+    """Every document appears exactly once — zero-annotation docs too —
+    and totals reconcile with the direct triple count."""
+    import pyarrow.parquet as pq
+
+    from kgref.ops.kgraph import _direct_triples, annotation_density
+
+    got = annotation_density(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(got) == n_docs and got["doc_id"].nunique() == n_docs
+    tri = _direct_triples(SF).to_pandas()
+    assert got["n_annotations"].sum() == (tri["pred"] == "annotated_with").sum()
+    assert (got["density_ppm"]
+            == 1_000_000 * got["n_annotations"] // got["n_tokens"]).all()
+    assert (got["n_tokens"] > 0).all()
