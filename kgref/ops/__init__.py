@@ -15,6 +15,7 @@ from . import (
     dupspans,
     events,
     heavyhitters,
+    incremental,
     invindex,
     kgraph,
     kgsplit,
@@ -40,7 +41,8 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             multimodal,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
-            sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure)
+            sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
+            incremental)
 
 
 def register_queries(q: dict) -> None:
