@@ -12,6 +12,7 @@ from . import (
     clusters,
     contamination,
     dedup,
+    dialogue,
     dupspans,
     events,
     heavyhitters,
@@ -42,7 +43,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental)
+            incremental, dialogue)
 
 
 def register_queries(q: dict) -> None:

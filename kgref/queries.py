@@ -705,7 +705,7 @@ _GATE_PRIORITY = [
     # once-verified simple aggregates (events_agg, top_users — moved
     # just below the boundary; both unchanged since r03 and covered by
     # scripts/check_oracle_parity.py)
-    "annotate_incremental",
+    "annotate_incremental", "sft_pairs", "context_budget",
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
