@@ -34,6 +34,7 @@ from . import (
     sketch,
     textstats,
     tfidf,
+    topicshift,
     topk,
     vocab,
 )
@@ -43,7 +44,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental, dialogue)
+            incremental, dialogue, topicshift)
 
 
 def register_queries(q: dict) -> None:
