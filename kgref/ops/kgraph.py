@@ -862,6 +862,67 @@ def conv_dominant_class(sf_dir: str):
             .groupby("bucket").map_groups(pick, batch_format="pandas"))
 
 
+def entity_timeline(sf_dir: str):
+    """(conv_id, obj, first_turn, last_turn, n_turns, n_mentions) —
+    per-conversation entity timeline over the direct triples: when an
+    entity first appears, when it last appears, how many distinct
+    turns mention it, and total mentions.  The QC view a KG build uses
+    to separate thread-spanning entities (link candidates) from
+    one-off mentions.
+
+    Combiner pattern: per-batch (conv, obj, turn) partial counts (the
+    distinct-turn combiner — exact because the finish re-sums per key)
+    shrink the exchange to distinct combos per batch; ONE conv-bucket
+    exchange, then a single vectorized two-level groupby per bucket."""
+    import pandas as pd
+
+    from ..stages.materialize import add_bucket_column
+
+    tri = _direct_triples(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["conv_id", "obj", "turn_idx"], sort=False)
+                .size().reset_index(name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["conv_id", "obj", "turn_idx"], sort=False)["n"]
+             .sum().reset_index())
+        out = (g.groupby(["conv_id", "obj"], sort=False)
+               .agg(first_turn=("turn_idx", "min"),
+                    last_turn=("turn_idx", "max"),
+                    n_turns=("turn_idx", "size"),
+                    n_mentions=("n", "sum"))
+               .reset_index())
+        for c in ("first_turn", "last_turn", "n_turns"):
+            out[c] = out[c].astype("int32")
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
+    return (tri.map_batches(partial, batch_format="pandas")
+            .map_batches(lambda b: add_bucket_column(b, _DOM_BUCKETS),
+                         batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda df: finish(df.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+def entity_timeline_sql() -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri})
+SELECT conv_id, obj,
+       CAST(min(turn_idx) AS INTEGER) AS first_turn,
+       CAST(max(turn_idx) AS INTEGER) AS last_turn,
+       CAST(count(DISTINCT turn_idx) AS INTEGER) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM tri WHERE pred = 'annotated_with'
+GROUP BY conv_id, obj
+"""
+
+
 def conv_dominant_class_sql() -> str:
     from ..queries import annotate_oracle_sql
     from ..schemas import AnnotateOptions
@@ -1679,6 +1740,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_lift"] = class_lift
     q["disambiguate_spans"] = disambiguate_spans
     q["entity_components"] = entity_components
+    q["entity_timeline"] = entity_timeline
     if o is not None:
         o["class_pagerank"] = class_pagerank_sql()
         o["class_triangles"] = class_triangles_sql()
@@ -1694,3 +1756,4 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_lift"] = class_lift_sql()
         o["disambiguate_spans"] = disambiguate_spans_sql()
         o["entity_components"] = entity_components_sql()
+        o["entity_timeline"] = entity_timeline_sql()

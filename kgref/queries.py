@@ -706,7 +706,7 @@ _GATE_PRIORITY = [
     # just below the boundary; both unchanged since r03 and covered by
     # scripts/check_oracle_parity.py)
     "annotate_incremental", "sft_pairs", "context_budget",
-    "turn_topic_shift",
+    "turn_topic_shift", "entity_timeline",
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
