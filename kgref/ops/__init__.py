@@ -20,6 +20,7 @@ from . import (
     invindex,
     kgraph,
     kgsplit,
+    linking,
     mixture,
     lm,
     multimodal,
@@ -44,7 +45,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental, dialogue, topicshift)
+            incremental, dialogue, topicshift, linking)
 
 
 def register_queries(q: dict) -> None:

@@ -707,6 +707,7 @@ _GATE_PRIORITY = [
     # scripts/check_oracle_parity.py)
     "annotate_incremental", "sft_pairs", "context_budget",
     "turn_topic_shift", "entity_timeline",
+    "conv_related", "class_drift", "bpe_pair_counts",
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
@@ -721,16 +722,17 @@ _GATE_PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
     "events_latest_per_key", "curriculum_order", "annotation_density",
-    # (events_windowed and events_window_funcs demoted below the
-    # boundary: both judge-rerun against their oracles in the r4
-    # session, sweep-covered)
-    "events_sessions", "events_topn_per_user",
-    "events_asof_join", "events_rolling_1h",
+    # (events_windowed, events_window_funcs, events_topn_per_user,
+    # events_asof_join and events_rolling_1h demoted below the
+    # boundary — r03-verified and sweep-covered — to make room for the
+    # three late-r5 ops above, which have never been driver-verified)
+    "events_sessions",
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
     "events_agg", "top_users", "events_window_funcs", "events_windowed",
+    "events_topn_per_user", "events_asof_join", "events_rolling_1h",
     "conv_turns", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint",
