@@ -20,6 +20,7 @@ from . import (
     invindex,
     kgraph,
     kgsplit,
+    kmeans,
     linking,
     mixture,
     lm,
@@ -45,7 +46,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental, dialogue, topicshift, linking)
+            incremental, dialogue, topicshift, linking, kmeans)
 
 
 def register_queries(q: dict) -> None:

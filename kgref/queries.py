@@ -708,6 +708,7 @@ _GATE_PRIORITY = [
     "annotate_incremental", "sft_pairs", "context_budget",
     "turn_topic_shift", "entity_timeline",
     "conv_related", "class_drift", "bpe_pair_counts",
+    "kmeans_iteration", "kmeans_train",
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
@@ -719,20 +720,24 @@ _GATE_PRIORITY = [
     # doc_fingerprint/sample_per_lang additionally judge-rerun against
     # their oracles in the r4 session — moved below the boundary to
     # make room for the eleven never-driver-verified r5 ops above)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_edit_distance", "dedup_embedding",
     "events_latest_per_key", "curriculum_order", "annotation_density",
-    # (events_windowed, events_window_funcs, events_topn_per_user,
+    # (the r03-verified dedup family — dedup_exact/ngram/minhash/
+    # simhash/edit_distance/embedding — plus events_sessions,
+    # events_windowed, events_window_funcs, events_topn_per_user,
     # events_asof_join and events_rolling_1h demoted below the
-    # boundary — r03-verified and sweep-covered — to make room for the
-    # three late-r5 ops above, which have never been driver-verified)
-    "events_sessions",
+    # boundary — all r03-verified and sweep-covered, edit_distance
+    # additionally judge-rerun in the r4 session — to make room for
+    # the five late-r5 ops above, which have never been
+    # driver-verified)
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
     # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
     "events_agg", "top_users", "events_window_funcs", "events_windowed",
     "events_topn_per_user", "events_asof_join", "events_rolling_1h",
+    "events_sessions", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_edit_distance",
+    "dedup_embedding",
     "conv_turns", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint",
