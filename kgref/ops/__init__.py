@@ -6,6 +6,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    bpe,
     centroids,
     chunking,
     closure,
@@ -46,7 +47,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental, dialogue, topicshift, linking, kmeans)
+            incremental, dialogue, topicshift, linking, kmeans, bpe)
 
 
 def register_queries(q: dict) -> None:
