@@ -40,6 +40,7 @@ from . import (
     topicshift,
     topk,
     vocab,
+    walks,
 )
 
 _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
@@ -47,7 +48,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental, dialogue, topicshift, linking, kmeans, bpe)
+            incremental, dialogue, topicshift, linking, kmeans, bpe, walks)
 
 
 def register_queries(q: dict) -> None:

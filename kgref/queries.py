@@ -696,7 +696,9 @@ _GATE_PRIORITY = [
     "annotate_semtype", "annotate_hier2", "annotate_hier_full",
     "annotate_mappings", "annotate_longest", "annotate_score_old",
     "annotate_score_cvalue", "annotate_score_cvalueh", "annotate_subword",
-    "annotate_exclude_numbers", "annotate_with_numbers",
+    "annotate_exclude_numbers",
+    # (annotate_with_numbers — r03-verified as a pair with
+    # exclude_numbers, sweep-covered — demoted for kg_random_walks)
     "conv_triple_counts", "conv_subgraph",
     # (class_frequencies — the simplest count aggregate, r03-verified,
     # sweep-covered — demoted for bpe_train, never driver-verified)
@@ -709,7 +711,7 @@ _GATE_PRIORITY = [
     "annotate_incremental", "sft_pairs", "context_budget",
     "turn_topic_shift", "entity_timeline",
     "conv_related", "class_drift", "bpe_pair_counts",
-    "kmeans_iteration", "kmeans_train", "bpe_train",
+    "kmeans_iteration", "kmeans_train", "bpe_train", "kg_random_walks",
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
@@ -738,7 +740,7 @@ _GATE_PRIORITY = [
     "events_topn_per_user", "events_asof_join", "events_rolling_1h",
     "events_sessions", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_edit_distance",
-    "dedup_embedding", "class_frequencies",
+    "dedup_embedding", "class_frequencies", "annotate_with_numbers",
     "conv_turns", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint",
