@@ -29,6 +29,7 @@ from . import (
     normalize,
     packing,
     pii,
+    profile,
     quantiles,
     quantize,
     relational,
@@ -48,7 +49,8 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             events, relational, vocab, packing, contamination, tfidf, pii,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
-            incremental, dialogue, topicshift, linking, kmeans, bpe, walks)
+            incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
+            profile)
 
 
 def register_queries(q: dict) -> None:

@@ -187,7 +187,75 @@ w0 AS (SELECT id * {walks_per_node} + CAST(j AS BIGINT) AS walk_id,
 """
 
 
+SKIP_WINDOW = 2
+
+
+def walk_skipgrams(sf_dir: str, window: int = SKIP_WINDOW):
+    """(center_uri, context_uri, n) — skip-gram training pairs from the
+    walk corpus (the word2vec step of DeepWalk): for every walk, each
+    (center, context) pair within ``window`` hops, both directions,
+    counted over all walks.
+
+    Scale shape: walks arrive already keyed by walk_id; ONE coarse
+    walk-bucket exchange co-locates each walk, the per-group kernel is
+    a sort + ``window`` shifted-array comparisons (no per-walk Python),
+    and per-group partial counts shrink the final pair groupby to
+    distinct pairs per bucket."""
+    from ray.data.aggregate import Sum
+
+    walks = kg_random_walks(sf_dir)
+    n_parts = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        wid = t.column("walk_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((wid % n_parts).astype(np.int32)))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["walk_id", "step"], kind="stable")
+        wid = df["walk_id"].to_numpy(np.int64)
+        uri = df["class_uri"].to_numpy()
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            same = wid[d:] == wid[:-d] if len(wid) > d else np.empty(
+                0, bool)
+            a, b = uri[:-d][same], uri[d:][same]
+            cs.extend((a, b))
+            xs.extend((b, a))
+        if not cs:
+            return pd.DataFrame({"center_uri": [], "context_uri": [],
+                                 "n": np.empty(0, np.int64)})
+        out = (pd.DataFrame({"center_uri": np.concatenate(cs),
+                             "context_uri": np.concatenate(xs)})
+               .groupby(["center_uri", "context_uri"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (walks.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda df: kernel(df.drop(columns=["part"])),
+                        batch_format="pandas")
+            .groupby(["center_uri", "context_uri"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def walk_skipgrams_sql(window: int = SKIP_WINDOW) -> str:
+    return f"""
+WITH walks AS ({kg_random_walks_sql()})
+SELECT a.class_uri AS center_uri, b.class_uri AS context_uri,
+       CAST(count(*) AS BIGINT) AS n
+FROM walks a JOIN walks b
+  ON b.walk_id = a.walk_id AND b.step != a.step
+ AND abs(b.step - a.step) <= {window}
+GROUP BY center_uri, context_uri
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["kg_random_walks"] = kg_random_walks
+    q["walk_skipgrams"] = walk_skipgrams
     if o is not None:
         o["kg_random_walks"] = kg_random_walks_sql()
+        o["walk_skipgrams"] = walk_skipgrams_sql()

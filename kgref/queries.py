@@ -698,8 +698,10 @@ _GATE_PRIORITY = [
     "annotate_score_cvalue", "annotate_score_cvalueh", "annotate_subword",
     "annotate_exclude_numbers",
     # (annotate_with_numbers — r03-verified as a pair with
-    # exclude_numbers, sweep-covered — demoted for kg_random_walks)
-    "conv_triple_counts", "conv_subgraph",
+    # exclude_numbers, sweep-covered — demoted for kg_random_walks;
+    # conv_triple_counts — a simple r03-verified count aggregate —
+    # demoted for walk_skipgrams)
+    "conv_subgraph",
     # (class_frequencies — the simplest count aggregate, r03-verified,
     # sweep-covered — demoted for bpe_train, never driver-verified)
     # (conv_turns demoted below the boundary: the simplest count
@@ -712,6 +714,7 @@ _GATE_PRIORITY = [
     "turn_topic_shift", "entity_timeline",
     "conv_related", "class_drift", "bpe_pair_counts",
     "kmeans_iteration", "kmeans_train", "bpe_train", "kg_random_walks",
+    "walk_skipgrams",
     "annotate_lemma", "clinical_context", "dup_spans",
     "dup_span_coverage", "kg_train_split", "kg_negative_sampling",
     "shuffle_shards", "token_budget_mix", "class_semantic_sim",
@@ -735,12 +738,15 @@ _GATE_PRIORITY = [
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
-    # --- window boundary (50) — everything below hash-PASSed in r03/r04 ---
+    # --- window boundary (50) — everything below hash-PASSed in
+    # r03/r04 or (profile_documents) is sweep- and pytest-covered ---
+    "profile_documents",
     "events_agg", "top_users", "events_window_funcs", "events_windowed",
     "events_topn_per_user", "events_asof_join", "events_rolling_1h",
     "events_sessions", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_edit_distance",
     "dedup_embedding", "class_frequencies", "annotate_with_numbers",
+    "conv_triple_counts",
     "conv_turns", "normalize_docs", "sample_docs",
     "sample_stratified", "sample_per_lang", "repetition_stats", "lang_id",
     "quality_score", "token_stats", "doc_fingerprint",

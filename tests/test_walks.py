@@ -11,7 +11,8 @@ import pyarrow.parquet as pq
 from kgref.ops.sampling import splitmix64
 from kgref.ops.walks import (WALK_LEN, WALKS_PER_NODE, _SALT,
                              kg_random_walks, kg_random_walks_sql,
-                             step_kernel)
+                             step_kernel, walk_skipgrams,
+                             walk_skipgrams_sql)
 
 
 def _union(edges, frontier):
@@ -76,3 +77,20 @@ def test_kg_random_walks_matches_oracle_and_structure(
     seeds = got[got["step"] == 0].sort_values("walk_id")
     assert list(seeds["class_uri"]) == [
         uris[w // WALKS_PER_NODE] for w in seeds["walk_id"]]
+
+    # skip-grams from the same corpus: symmetric, window-bounded, and
+    # the total equals the closed form 2·Σ_d (L+1-d) pairs per walk
+    sg = (walk_skipgrams(str(tmp_path)).to_pandas()
+          .sort_values(["center_uri", "context_uri"])
+          .reset_index(drop=True))
+    want_sg = (con.execute(walk_skipgrams_sql()).df()
+               .sort_values(["center_uri", "context_uri"])
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        sg[want_sg.columns],
+        want_sg.astype(sg[want_sg.columns].dtypes.to_dict()))
+    n_walks = got["walk_id"].nunique()
+    per_walk = 2 * sum(WALK_LEN + 1 - d for d in (1, 2))
+    assert int(sg["n"].sum()) == n_walks * per_walk
+    m = sg.set_index(["center_uri", "context_uri"])["n"]
+    assert all(m[(a, b)] == m[(b, a)] for a, b in m.index)  # symmetric
