@@ -208,8 +208,78 @@ def reference_bpe(word_counts: dict[str, int],
     return out
 
 
+def bpe_encode(sf_dir: str, n_merges: int = N_MERGES):
+    """(doc_id, n_words, n_tokens) — encode the CORPUS with the learned
+    merge table: per document, word count and post-BPE token count (the
+    budget quantity a training-mix planner consumes).
+
+    Scale shape: the merge table (n_merges rows) broadcasts via
+    ``ray.put``; each corpus batch dedups to its DISTINCT words, applies
+    the merges with the same vectorized ``apply_merge`` kernel
+    (n_merges passes over batch-distinct words, not corpus words), then
+    maps per-word token counts back to documents with one ``index_in``
+    + segment-sum — no per-row Python in the corpus pass."""
+    import ray
+    import ray.data as rd
+
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(sf_dir, n_merges).to_pylist()]
+    mref = ray.put(merges)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ms = ray.get(mref)
+        toks = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        flat = toks.flatten()
+        words = pc.unique(flat)
+        syms = pa.array([list(w) for w in words.to_pylist()],
+                        pa.list_(pa.string()))  # batch-distinct-bounded
+        wt = pa.table({"syms": syms,
+                       "n": pa.array(np.ones(len(words), np.int64))})
+        for left, right in ms:
+            wt = apply_merge(wt, left, right)
+        s = wt.column("syms")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        tok_per_word = np.diff(s.offsets.to_numpy(zero_copy_only=False))
+        idx = pc.index_in(flat, value_set=words).to_numpy(
+            zero_copy_only=False)
+        doc_off = toks.offsets.to_numpy(zero_copy_only=False)
+        words_per_doc = np.diff(doc_off)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           words_per_doc)
+        n_tokens = np.zeros(len(batch), np.int64)
+        np.add.at(n_tokens, doc_of, tok_per_word[idx])
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_words": pa.array(words_per_doc.astype(np.int64)),
+                         "n_tokens": pa.array(n_tokens)})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def reference_encode(text: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of one document under the merge table (test twin)."""
+    total = 0
+    for w in text.split(" "):
+        syms = list(w)
+        for l, r in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        total += len(syms)
+    return total
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["bpe_train"] = bpe_train
+    q["bpe_encode"] = bpe_encode
     # no oracle_sql: the merge recursion is not SQL-expressible — the
     # driver records a rows-only check; pytest pins bit-exact parity
     # against reference_bpe and bpe_pair_counts hash-gates round 1.

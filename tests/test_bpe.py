@@ -6,7 +6,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from kgref.ops.bpe import apply_merge, bpe_train, reference_bpe
+from kgref.ops.bpe import (apply_merge, bpe_encode, bpe_train,
+                           reference_bpe, reference_encode)
 
 
 def _batch(words, counts):
@@ -56,6 +57,23 @@ def test_bpe_train_matches_reference(ray_session, tmp_path):
     assert [(r["left"], r["right"], r["n"]) for r in got] == want
     assert [r["rank"] for r in got] == list(range(len(got)))
     assert all(r["merged"] == r["left"] + r["right"] for r in got)
+
+
+def test_bpe_encode_matches_reference(ray_session, tmp_path):
+    texts = ["the cat sat on the mat", "banana bandana a x",
+             "aaa aaaa hat the"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(str(tmp_path), 8).to_pylist()]
+    got = (bpe_encode(str(tmp_path), 8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["n_words"]) == [len(t.split(" ")) for t in texts]
+    assert list(got["n_tokens"]) == [reference_encode(t, merges)
+                                     for t in texts]
+    assert int(got.loc[1, "n_tokens"]) < sum(
+        len(w) for w in texts[1].split(" "))  # merges actually applied
 
 
 def test_bpe_train_exhausts_small_corpus(ray_session, tmp_path):
