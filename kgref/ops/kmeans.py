@@ -195,9 +195,115 @@ def kmeans_iteration_sql() -> str:
     return kmeans_train_sql(iters=1)
 
 
+SEM_T = 160_000_000  # fixed-point squared-distance near-dup threshold
+
+
+def semantic_dedup(sf_dir: str, k: int = K_CLUSTERS, thresh: int = SEM_T):
+    """(vec_a, vec_b, dist2_fx) with vec_a < vec_b — SemDeDup-style
+    semantic near-dup pairs (Abbas et al. 2023, public method): assign
+    every embedding to its nearest centroid, then compare pairs WITHIN
+    clusters only, keeping those with exact int64 fixed-point squared
+    distance ≤ thresh.
+
+    Scale shape: the whole point of clustering first is that pair cost
+    drops from O(n²) to Σ m_i² over cluster sizes; the exchange is ONE
+    cluster-keyed groupby moving (cluster, vec_id, quantized vector) —
+    256 B/row at d=64 — and the per-cluster kernel is a chunked
+    block-nested numpy loop (the ops/similarity.py bound), never a
+    per-pair Python step.  Exactness: same fixed-point arithmetic as
+    kmeans_train, so the SQL twin (assignment CTEs + within-cluster
+    self-join) matches bit-for-bit."""
+    import ray
+
+    cent = _init_centroids(sf_dir, k)
+    ids = np.arange(k, dtype=np.int64)
+    cref = ray.put((cent, ids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        C, cids = _ray.get(cref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "fx": pa.array([], pa.list_(pa.int64()))})
+        fx = _fx_quant(emb.flatten().to_numpy(
+            zero_copy_only=False)).reshape(n, -1)
+        a = cids[assign_chunk(fx, C)]
+        d = fx.shape[1]
+        offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                        pa.int32())
+        return pa.table({
+            "cluster": pa.array(a),
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "fx": pa.ListArray.from_arrays(offs,
+                                           pa.array(fx.reshape(-1)))})
+
+    def pairs(df) -> "pd.DataFrame":
+        import pandas as pd
+        vid = df["vec_id"].to_numpy(np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        fx = np.stack(df["fx"].to_numpy()[order]).astype(np.int64)
+        m, d = fx.shape
+        rows_a, rows_b, dist = [], [], []
+        blk = max(1, _CHUNK // max(1, m * d))  # block-nested-loop bound
+        for s in range(0, m, blk):
+            diff = fx[s:s + blk, None, :] - fx[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            ai, bi = np.nonzero(d2 <= thresh)
+            keep = (ai + s) < bi  # upper triangle in vec_id order
+            rows_a.append(vid[ai[keep] + s])
+            rows_b.append(vid[bi[keep]])
+            dist.append(d2[ai[keep], bi[keep]])
+        return pd.DataFrame({
+            "vec_a": np.concatenate(rows_a) if rows_a else
+            np.empty(0, np.int64),
+            "vec_b": np.concatenate(rows_b) if rows_b else
+            np.empty(0, np.int64),
+            "dist2_fx": np.concatenate(dist) if dist else
+            np.empty(0, np.int64)})
+
+    return (_embeddings(sf_dir)
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(lambda df: pairs(df.drop(columns=["cluster"])),
+                        batch_format="pandas"))
+
+
+def semantic_dedup_sql(k: int = K_CLUSTERS, thresh: int = SEM_T) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_FX} + 0.5)
+              AS BIGINT) AS fx
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, dim, fx AS cfx FROM e WHERE vec_id < {k}),
+d0 AS (SELECT e.vec_id, c.cid,
+              sum((e.fx - c.cfx) * (e.fx - c.cfx)) AS dist
+       FROM e JOIN c0 c ON c.dim = e.dim GROUP BY e.vec_id, c.cid),
+a0 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dist, cid) AS rn
+        FROM d0) WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(sum((ea.fx - eb.fx) * (ea.fx - eb.fx)) AS BIGINT) AS dist2_fx
+FROM a0 a JOIN a0 b ON b.cid = a.cid AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+GROUP BY a.vec_id, b.vec_id
+HAVING sum((ea.fx - eb.fx) * (ea.fx - eb.fx)) <= {thresh}
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["kmeans_iteration"] = kmeans_iteration
     q["kmeans_train"] = kmeans_train
+    q["semantic_dedup"] = semantic_dedup
     if o is not None:
         o["kmeans_iteration"] = kmeans_iteration_sql()
         o["kmeans_train"] = kmeans_train_sql()
+        o["semantic_dedup"] = semantic_dedup_sql()

@@ -7,8 +7,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import duckdb
+import pandas as pd
+
 from kgref.ops.kmeans import (_fx_quant, _refresh, assign_chunk,
-                              kmeans_train)
+                              kmeans_train, semantic_dedup,
+                              semantic_dedup_sql)
 
 
 def test_assign_chunk_tie_break_smallest_id():
@@ -81,3 +85,35 @@ def test_kmeans_train_matches_numpy_reference(ray_session, tmp_path):
     # blob (40) or the union of blobs seeded twice
     sizes = sorted(got.groupby("cluster")["n"].first())
     assert sum(sizes) == len(M)
+
+
+def test_semantic_dedup_finds_planted_pair_within_cluster(
+        ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    # two far blobs; vec 10/11 near-identical (same blob), vec 12 is a
+    # near-copy of 10 but displaced into the OTHER blob — the known
+    # SemDeDup tradeoff: cross-cluster near-dups are invisible
+    M = np.concatenate([rng.normal(-2.0, 0.3, (20, 8)),
+                        rng.normal(2.0, 0.3, (20, 8))]).astype(np.float32)
+    M[11] = M[10] + 0.001
+    M[12] = -M[10]  # lands in the opposite blob
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(M)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(M), pa.int32())})
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    got = (semantic_dedup(str(tmp_path), k=2, thresh=10_000).to_pandas()
+           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = (con.execute(semantic_dedup_sql(k=2, thresh=10_000)).df()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns], want.astype(got[want.columns].dtypes.to_dict()))
+    assert [10, 11] in got[["vec_a", "vec_b"]].values.tolist()
+    # exact fixed-point distance: 8 dims x (10 fx units)^2 = 800
+    planted = got[(got.vec_a == 10) & (got.vec_b == 11)]
+    assert int(planted["dist2_fx"].iloc[0]) == 800
