@@ -25,6 +25,7 @@ from . import (
     linking,
     mixture,
     lm,
+    metapath,
     multimodal,
     normalize,
     packing,
@@ -50,7 +51,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile)
+            profile, metapath)
 
 
 def register_queries(q: dict) -> None:
