@@ -460,8 +460,111 @@ def customer_big_order_counts_sql() -> str:
             f" ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey")
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q3_TOPK = 10
+
+
+def orders_revenue_topk(sf_dir: str, k: int = Q3_TOPK):
+    """TPC-H-Q3-shaped 3-table join: top-k open orders by revenue for
+    one market segment (orders placed before Q3_DATE, lines shipped
+    after it).  Shapes: the customer side is DIMENSION-bounded — the
+    segment's custkeys broadcast via ``ray.put`` and filter orders
+    inside ``map_batches`` (no shuffle); the orders↔lineitem side is
+    big×big — a native hash join on the order key, with the lineitem
+    side PRE-AGGREGATED per batch (orderkey → revenue partial) so the
+    join input carries one row per (orderkey, batch), not one per line
+    item.  Revenue is exact int64 fixed point:
+    ``fx4(price) · (10⁴ − fx4(disc))`` summed associatively, scaled
+    back by one double division identical to the SQL twin's."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seg_keys = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == Q3_SEGMENT)
+    keys = np.sort(np.concatenate(
+        [b.column("c_custkey").to_numpy(zero_copy_only=False)
+         for b in seg_keys.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))  # dimension-bounded broadcast
+    kref = ray.put(keys)
+    cutoff = np.datetime64(Q3_DATE, "us")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < pa.scalar(cutoff))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.searchsorted(ks, ck)
+            hit = ((pos < len(ks))
+                   & (ks[np.minimum(pos, len(ks) - 1)] == ck))
+        else:
+            hit = np.zeros(len(ck), bool)
+        return batch.filter(pa.array(hit)).select(
+            ["o_orderkey", "o_orderdate"])
+
+    odim = orders.map_batches(semi, batch_format="pyarrow")
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > pa.scalar(cutoff))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev8 = pc.multiply(
+            _fx4(batch.column("l_extendedprice")),
+            pc.subtract(pa.scalar(10000, pa.int64()),
+                        _fx4(batch.column("l_discount"))))
+        t = pa.Table.from_arrays(
+            [batch.column("l_orderkey"), rev8],
+            names=["o_orderkey", "rev8"])
+        return pa.TableGroupBy(t, "o_orderkey").aggregate(
+            [("rev8", "sum")]).rename_columns(["o_orderkey", "rev8"])
+
+    lrev = lines.map_batches(rev_partial, batch_format="pyarrow")
+    joined = lrev.join(odim, join_type="inner", num_partitions=16,
+                       on=("o_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), t.column("o_orderdate"),
+             pc.divide(pc.cast(t.column("rev8"), pa.float64()),
+                       pa.scalar(100000000.0))],
+            names=["o_orderkey", "o_orderdate", "revenue"])
+
+    return (joined.groupby(["o_orderkey", "o_orderdate"])
+            .aggregate(Sum("rev8", alias_name="rev8"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["revenue", "o_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+def orders_revenue_topk_sql(k: int = Q3_TOPK) -> str:
+    fx = "CAST(floor({} * 10000 + 0.5) AS BIGINT)"
+    rev = (f"sum({fx.format('l.l_extendedprice')}"
+           f" * (10000 - {fx.format('l.l_discount')}))")
+    return f"""
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+       {rev} / 100000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT {k}
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["lineitem_pricing"] = lineitem_pricing
+    q["orders_revenue_topk"] = orders_revenue_topk
     q["orders_by_segment"] = orders_by_segment
     q["nation_orders_join"] = nation_orders_join
     q["orders_price_band"] = orders_price_band
@@ -472,6 +575,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["customers_anti_native"] = customers_anti_native
     if o is not None:
         o["lineitem_pricing"] = lineitem_pricing_sql()
+        o["orders_revenue_topk"] = orders_revenue_topk_sql()
         o["orders_by_segment"] = orders_by_segment_sql()
         o["nation_orders_join"] = nation_orders_join_sql()
         o["orders_price_band"] = orders_price_band_sql()

@@ -742,7 +742,7 @@ _GATE_PRIORITY = [
     # r03/r04 or (profile_documents, bpe_encode) is sweep- and
     # pytest-covered ---
     "profile_documents", "bpe_encode", "semantic_dedup",
-    "metapath_walks",
+    "metapath_walks", "orders_revenue_topk",
     "events_agg", "top_users", "events_window_funcs", "events_windowed",
     "events_topn_per_user", "events_asof_join", "events_rolling_1h",
     "events_sessions", "dedup_exact", "dedup_ngram_jaccard",
