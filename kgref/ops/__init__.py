@@ -22,6 +22,7 @@ from . import (
     kgraph,
     kgsplit,
     kmeans,
+    linalg,
     linking,
     mixture,
     lm,
@@ -51,7 +52,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile, metapath)
+            profile, metapath, linalg)
 
 
 def register_queries(q: dict) -> None:

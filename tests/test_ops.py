@@ -2076,3 +2076,28 @@ def test_annotation_density_covers_every_doc(ray_session):
     assert (got["density_ppm"]
             == 1_000_000 * got["n_annotations"] // got["n_tokens"]).all()
     assert (got["n_tokens"] > 0).all()
+
+
+def test_embed_gram_matches_bruteforce(ray_session):
+    """The distributed combiner Gram matrix equals the single-matmul
+    numpy result over the whole table, exactly (int64 fixed point)."""
+    from kgref.ops.linalg import _FX, embed_gram
+
+    got = (embed_gram(SF).to_pandas()
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    flat = emb.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False)
+    n = emb.num_rows
+    d = len(flat) // n
+    fx = np.floor(flat.astype(np.float64) * _FX + 0.5).astype(
+        np.int64).reshape(n, d)
+    g = fx.T @ fx
+    iu, ju = np.triu_indices(d)
+    assert len(got) == d * (d + 1) // 2
+    np.testing.assert_array_equal(got["i"].to_numpy(), iu + 1)
+    np.testing.assert_array_equal(got["j"].to_numpy(), ju + 1)
+    np.testing.assert_array_equal(got["gram_fx"].to_numpy(), g[iu, ju])
+    # symmetry of the source: the diagonal must dominate (PSD Gram)
+    diag = got[got["i"] == got["j"]]["gram_fx"].to_numpy()
+    assert (diag >= 0).all()
