@@ -6,6 +6,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    bm25,
     bpe,
     centroids,
     chunking,
@@ -52,7 +53,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile, metapath, linalg)
+            profile, metapath, linalg, bm25)
 
 
 def register_queries(q: dict) -> None:

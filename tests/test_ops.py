@@ -2101,3 +2101,40 @@ def test_embed_gram_matches_bruteforce(ray_session):
     # symmetry of the source: the diagonal must dominate (PSD Gram)
     diag = got[got["i"] == got["j"]]["gram_fx"].to_numpy()
     assert (diag >= 0).all()
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """Exact-integer BM25 vs a direct Python implementation of the
+    same spec (k1=6/5, b=3/4, fixed-point idf, floor division)."""
+    from collections import Counter
+
+    from kgref.ops.bm25 import (N_QUERY_TERMS, TOP_K, _FX, bm25_topk)
+
+    got = bm25_topk(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(docs)
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    total_len = sum(len(ts) for ts in toks.values())
+    avgdl = int(np.floor(1000.0 * total_len / n_docs + 0.5))
+    qterms = sorted((t for t, d in df.items() if 2 * d <= n_docs),
+                    key=lambda t: (-df[t], t))[:N_QUERY_TERMS]
+    scores = {}
+    for did, ts in toks.items():
+        tf = Counter(ts)
+        s = 0
+        for t in qterms:
+            if t not in tf:
+                continue
+            idf = int(np.floor(
+                _FX * np.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                + 0.5))
+            s += ((idf * tf[t] * 22 * avgdl)
+                  // (10 * avgdl * tf[t] + 3 * avgdl + 9000 * len(ts)))
+        if s > 0:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    assert list(zip(got["doc_id"], got["score_fx"])) == want
