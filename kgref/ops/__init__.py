@@ -20,6 +20,7 @@ from . import (
     heavyhitters,
     incremental,
     invindex,
+    kcore,
     kgraph,
     kgsplit,
     kmeans,
@@ -53,7 +54,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile, metapath, linalg, bm25)
+            profile, metapath, linalg, bm25, kcore)
 
 
 def register_queries(q: dict) -> None:
