@@ -13,6 +13,7 @@ from . import (
     closure,
     clusters,
     contamination,
+    curation,
     dedup,
     dialogue,
     dupspans,
@@ -54,7 +55,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile, metapath, linalg, bm25, kcore)
+            profile, metapath, linalg, bm25, kcore, curation)
 
 
 def register_queries(q: dict) -> None:
