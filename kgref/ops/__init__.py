@@ -39,6 +39,7 @@ from . import (
     quantize,
     relational,
     sampling,
+    selection,
     similarity,
     sketch,
     textstats,
@@ -55,7 +56,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile, metapath, linalg, bm25, kcore, curation)
+            profile, metapath, linalg, bm25, kcore, curation, selection)
 
 
 def register_queries(q: dict) -> None:
