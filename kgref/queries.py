@@ -708,6 +708,7 @@ _GATE_PRIORITY = [
     "profile_documents", "bpe_encode", "semantic_dedup",
     "metapath_walks", "orders_revenue_topk", "annotations_ntriples",
     "embed_gram", "bm25_topk", "class_kcore", "corpus_curation",
+    "surprisal_filter",
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
@@ -718,19 +719,19 @@ _GATE_PRIORITY = [
     # ops and two dedup ops NOT already judge-rerun in the r4 session
     # (the judge re-ran events_windowed/events_window_funcs/
     # dedup_edit_distance there)
-    "annotate_direct", "annotate_subword", "annotate_longest",
+    "annotate_direct", "annotate_longest",
     "annotate_score_cvalueh",
     "conv_subgraph", "events_sessions",
     "dedup_exact",
     # --- window boundary (50) — everything below hash-PASSed in
     # r03/r04 and is sweep-covered by scripts/check_oracle_parity.py
     # (COVERAGE.md records the full-registry sweeps: 0 failures;
-    # events_asof_join, dedup_ngram_jaccard, annotate_mappings and
-    # annotate_hier_full ceded their slots to the late-r5 embed_gram/
-    # bm25_topk/class_kcore/corpus_curation, which had never been
-    # driver-verified) ---
+    # events_asof_join, dedup_ngram_jaccard, annotate_mappings,
+    # annotate_hier_full and annotate_subword ceded their slots to the
+    # late-r5 embed_gram/bm25_topk/class_kcore/corpus_curation/
+    # surprisal_filter, which had never been driver-verified) ---
     "events_asof_join", "dedup_ngram_jaccard", "annotate_mappings",
-    "annotate_hier_full",
+    "annotate_hier_full", "annotate_subword",
     "annotate_min_term", "annotate_stop_extra",
     "annotate_nostop", "annotate_nosyn", "annotate_ont_filter",
     "annotate_semtype", "annotate_hier2", "annotate_score_old",
