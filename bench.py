@@ -285,11 +285,26 @@ def run_suite_median(sf_dir: str, num_cpus: int,
     # cannot run inside this timing suite without polluting it): the
     # raw 8→32 pair, framework_ratio, colocate_penalty and the
     # flagship's exchange-byte roll-up, all from ONE load regime
-    crit_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "SCALING_r05.json")
-    if os.path.exists(crit_path):
-        with open(crit_path) as fh:
-            out["scaling_criterion_recorded"] = json.load(fh)
+    here = os.path.dirname(os.path.abspath(__file__))
+    reps = []
+    for tag in ("", "b", "c"):
+        crit_path = os.path.join(here, f"SCALING_r05{tag}.json")
+        if os.path.exists(crit_path):
+            with open(crit_path) as fh:
+                reps.append(json.load(fh))
+    if reps:
+        out["scaling_criterion_recorded"] = reps[0]
+        out["scaling_criterion_replicates"] = {
+            "n": len(reps),
+            "raw_8_to_32_efficiency":
+                [r["raw_single_node_8_to_32_efficiency"] for r in reps],
+            "framework_ratio":
+                [r["framework_ratio_solo32_over_quad8"] for r in reps],
+            "median_raw_8_to_32_efficiency": round(statistics.median(
+                r["raw_single_node_8_to_32_efficiency"] for r in reps), 3),
+            "median_framework_ratio": round(statistics.median(
+                r["framework_ratio_solo32_over_quad8"] for r in reps), 3),
+        }
     return out
 
 
