@@ -16,6 +16,7 @@ from . import (
     curation,
     dedup,
     dialogue,
+    dsir,
     dupspans,
     events,
     heavyhitters,
@@ -56,7 +57,8 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             clusters, quantiles, chunking, topk, centroids, quantize, lm,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
-            profile, metapath, linalg, bm25, kcore, curation, selection)
+            profile, metapath, linalg, bm25, kcore, curation, selection,
+            dsir)
 
 
 def register_queries(q: dict) -> None:
