@@ -708,7 +708,7 @@ _GATE_PRIORITY = [
     "profile_documents", "bpe_encode", "semantic_dedup",
     "metapath_walks", "orders_revenue_topk", "annotations_ntriples",
     "embed_gram", "bm25_topk", "class_kcore", "corpus_curation",
-    "surprisal_filter",
+    "surprisal_filter", "dsir_weights",
     # rewritten this round (r4 Next #1/#4/#6): re-verify in-window
     "heavy_hitters", "class_pagerank", "class_triangles",
     "class_jaccard", "cooccur_components", "class_lift",
@@ -719,7 +719,7 @@ _GATE_PRIORITY = [
     # ops and two dedup ops NOT already judge-rerun in the r4 session
     # (the judge re-ran events_windowed/events_window_funcs/
     # dedup_edit_distance there)
-    "annotate_direct", "annotate_longest",
+    "annotate_direct",
     "annotate_score_cvalueh",
     "conv_subgraph", "events_sessions",
     "dedup_exact",
@@ -727,11 +727,12 @@ _GATE_PRIORITY = [
     # r03/r04 and is sweep-covered by scripts/check_oracle_parity.py
     # (COVERAGE.md records the full-registry sweeps: 0 failures;
     # events_asof_join, dedup_ngram_jaccard, annotate_mappings,
-    # annotate_hier_full and annotate_subword ceded their slots to the
-    # late-r5 embed_gram/bm25_topk/class_kcore/corpus_curation/
-    # surprisal_filter, which had never been driver-verified) ---
+    # annotate_hier_full, annotate_subword and annotate_longest ceded
+    # their slots to the late-r5 embed_gram/bm25_topk/class_kcore/
+    # corpus_curation/surprisal_filter/dsir_weights, which had never
+    # been driver-verified) ---
     "events_asof_join", "dedup_ngram_jaccard", "annotate_mappings",
-    "annotate_hier_full", "annotate_subword",
+    "annotate_hier_full", "annotate_subword", "annotate_longest",
     "annotate_min_term", "annotate_stop_extra",
     "annotate_nostop", "annotate_nosyn", "annotate_ont_filter",
     "annotate_semtype", "annotate_hier2", "annotate_score_old",
