@@ -170,7 +170,72 @@ FROM reach GROUP BY c, a
 """
 
 
+def class_depth(sf_dir: str):
+    """(class_uri, depth) — every dictionary class's minimum distance
+    to a ROOT of the is-a DAG (a class with no parents): the ontology
+    depth statistic BioPortal-style semantic-similarity measures
+    normalize by.  Roots have depth 0; every non-root's maximal chain
+    ends at a root, so depth = min closure distance over root
+    ancestors.  Consumes the DISTRIBUTED closure Dataset; the root set
+    is class-dimension-sized and broadcast (the same budget as the
+    annotate stage's closure)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..docdict import CLASS_DEFS, _uri
+
+    all_uris = sorted(_uri(n) for n, *_rest in CLASS_DEFS)
+    roots = sorted(_uri(n) for n, _o, _p, _s, _st, parents, _c
+                   in CLASS_DEFS if not parents)
+    root_rows = pa.Table.from_arrays(
+        [pa.array(roots, pa.string()),
+         pa.array([0] * len(roots), pa.int64())],
+        names=["class_uri", "depth"])
+    roots_ref = ray.put(pa.array(roots, pa.string()))
+
+    def to_root(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rs = ray.get(roots_ref)
+        m = pc.is_in(t.column("ancestor_uri"), value_set=rs)
+        kept = t.filter(m)
+        return pa.Table.from_arrays(
+            [kept.column("class_uri"),
+             kept.column("distance").cast(pa.int64())],
+            names=["class_uri", "depth"])
+
+    non_root = (isa_closure_full(sf_dir)
+                .map_batches(to_root, batch_format="pyarrow")
+                .groupby("class_uri")
+                .aggregate(Min("depth", alias_name="depth")))
+    # assert-by-construction: len(all_uris) == len(roots) + non-root
+    # rows (every non-root reaches a root) — pinned in tests
+    del all_uris
+    return non_root.union(rd.from_arrow(root_rows))
+
+
+def class_depth_sql() -> str:
+    from ..docdict import CLASS_DEFS, _q, _uri
+
+    base = isa_closure_full_sql()
+    roots = sorted(_uri(n) for n, _o, _p, _s, _st, parents, _c
+                   in CLASS_DEFS if not parents)
+    root_rows = ", ".join(f"({_q(r)})" for r in roots)
+    return f"""
+WITH clo AS ({base}),
+roots(u) AS (VALUES {root_rows}),
+nr AS (SELECT class_uri, CAST(min(distance) AS BIGINT) AS depth
+       FROM clo JOIN roots ON clo.ancestor_uri = roots.u
+       GROUP BY class_uri)
+SELECT class_uri, depth FROM nr
+UNION ALL
+SELECT u AS class_uri, CAST(0 AS BIGINT) AS depth FROM roots
+"""
+
+
 def register(q: dict, o: dict | None = None) -> None:
     q["isa_closure_full"] = isa_closure_full
+    q["class_depth"] = class_depth
     if o is not None:
         o["isa_closure_full"] = isa_closure_full_sql()
+        o["class_depth"] = class_depth_sql()

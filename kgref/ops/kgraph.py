@@ -155,6 +155,30 @@ FROM sym GROUP BY class_uri
 """
 
 
+def degree_histogram(sf_dir: str):
+    """(degree, n_classes) — the degree distribution of the
+    co-occurrence graph, the one-line audit that tells a KG build
+    whether its graph is hub-dominated (skew planning for the
+    iterative ops) or flat.  Second-level combiner over class_degree's
+    class-dimension-sized output — both exchanges are node-sized."""
+    from ray.data.aggregate import Count
+
+    return (class_degree(sf_dir)
+            .groupby("degree").aggregate(Count(alias_name="n_classes")))
+
+
+def degree_histogram_sql() -> str:
+    return f"""
+WITH {_cooc_cte()},
+sym AS (SELECT class_a AS class_uri FROM cooc
+        UNION ALL SELECT class_b FROM cooc),
+deg AS (SELECT class_uri, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY class_uri)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_classes
+FROM deg GROUP BY degree
+"""
+
+
 def _edge_ids(sf_dir: str):
     """Distributed edge prologue (closes VERDICT r4 What's-wrong #1).
 
@@ -1730,6 +1754,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_triangles"] = class_triangles
     q["class_cooccurrence"] = class_cooccurrence
     q["class_degree"] = class_degree
+    q["degree_histogram"] = degree_histogram
     q["cooccur_components"] = cooccur_components
     q["class_bfs"] = class_bfs
     q["class_jaccard"] = class_jaccard
@@ -1746,6 +1771,7 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_triangles"] = class_triangles_sql()
         o["class_cooccurrence"] = class_cooccurrence_sql()
         o["class_degree"] = class_degree_sql()
+        o["degree_histogram"] = degree_histogram_sql()
         o["cooccur_components"] = cooccur_components_sql()
         o["class_bfs"] = class_bfs_sql()
         o["class_jaccard"] = class_jaccard_sql()

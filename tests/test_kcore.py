@@ -93,3 +93,44 @@ def test_kcore_deep_peel_raises_past_budget():
         alive = new_alive
         rounds += 1
     assert rounds > SQL_ROUNDS  # the guard has real work to do
+
+
+def test_degree_histogram_reconciles_with_degrees(ray_session):
+    from kgref.ops.kgraph import class_degree, degree_histogram
+
+    deg = class_degree(SF).to_pandas()
+    hist = degree_histogram(SF).to_pandas()
+    want = deg.groupby("degree").size()
+    got = hist.set_index("degree")["n_classes"]
+    assert got.sort_index().to_dict() == want.sort_index().to_dict()
+    assert int(hist["n_classes"].sum()) == len(deg)
+
+
+def test_class_depth_matches_bfs(ray_session):
+    """Depth per class equals a driver BFS from the roots over the
+    docdict parent edges, and every class gets exactly one row."""
+    from collections import deque
+
+    from kgref.ops.closure import class_depth
+    from kgref.docdict import CLASS_DEFS, _uri
+
+    children = {}
+    all_uris, roots = [], []
+    for n, _o, _p, _s, _st, parents, _c in CLASS_DEFS:
+        u = _uri(n)
+        all_uris.append(u)
+        if not parents:
+            roots.append(u)
+        for p in parents:
+            children.setdefault(_uri(p), []).append(u)
+    want = {r: 0 for r in roots}
+    dq = deque(roots)
+    while dq:
+        u = dq.popleft()
+        for ch in children.get(u, ()):
+            if ch not in want or want[u] + 1 < want[ch]:
+                want[ch] = want[u] + 1
+                dq.append(ch)
+    got = class_depth(SF).to_pandas()
+    assert len(got) == len(all_uris) == got["class_uri"].nunique()
+    assert dict(zip(got["class_uri"], got["depth"])) == want
