@@ -6,6 +6,7 @@ annotator (SURVEY.md §2), registered into the driver contract by
 from __future__ import annotations
 
 from . import (
+    bio,
     bm25,
     bpe,
     centroids,
@@ -58,7 +59,7 @@ _MODULES = (dedup, dupspans, normalize, sampling, similarity, textstats,
             sketch, heavyhitters, invindex, kgraph, kgsplit, mixture, closure,
             incremental, dialogue, topicshift, linking, kmeans, bpe, walks,
             profile, metapath, linalg, bm25, kcore, curation, selection,
-            dsir)
+            dsir, bio)
 
 
 def register_queries(q: dict) -> None:

@@ -734,8 +734,9 @@ _GATE_PRIORITY = [
     "events_asof_join", "dedup_ngram_jaccard", "annotate_mappings",
     "annotate_hier_full", "annotate_subword", "annotate_longest",
     # latest additions (sweep- and pytest-covered; below the boundary
-    # because they are one-combiner derivatives of in-window ops)
-    "degree_histogram", "class_depth",
+    # because they are one-combiner derivatives of in-window ops or,
+    # for bio_tags, a projection of the in-window annotate family)
+    "degree_histogram", "class_depth", "bio_tags",
     "annotate_min_term", "annotate_stop_extra",
     "annotate_nostop", "annotate_nosyn", "annotate_ont_filter",
     "annotate_semtype", "annotate_hier2", "annotate_score_old",
