@@ -179,6 +179,108 @@ FROM deg GROUP BY degree
 """
 
 
+_HITS_BUCKETS = 32
+
+
+def class_hits(sf_dir: str):
+    """(class_uri, df, auth2) — two exact unnormalized HITS rounds over
+    the BIPARTITE conversation↔class graph (edges = distinct
+    (conv, class) direct-annotation pairs): ``df`` is the class's
+    first-round authority (its conversation frequency), ``auth2`` the
+    second-round authority Σ over its conversations of the
+    conversation's hub score h1 = Σ df of ITS classes — the mutual
+    reinforcement signal ("a class matters when it appears in
+    concept-rich conversations").  Unnormalized fixed-K iteration keeps
+    every number an exact int64 (values bounded by df·Σdf — no
+    per-round normalization division), the ops/kgraph fixed-point
+    discipline.
+
+    Scale shape: per-batch distinct pairs → one (conv, class)-keyed
+    dedup groupby; df via a class-keyed Count broadcast as sorted
+    arrays; then ONE conv-bucket exchange co-locates each
+    conversation's edges, h1 and the per-class a2 partials compute
+    inside the bucket, and a final class-keyed Sum finishes.  The
+    conversation-dimension h1 table never materializes globally."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.materialize import add_bucket_column
+
+    tri = _direct_triples(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.Table.from_arrays(
+            [t.column("conv_id").cast(pa.string()),
+             t.column("obj").cast(pa.string())],
+            names=["conv_id", "obj"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["conv_id", "obj"]),
+            preserve_index=False)
+
+    edges = (tri.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["conv_id", "obj"]).aggregate(Count(alias_name="_c"))
+             .map_batches(lambda t: t.select(["conv_id", "obj"]),
+                          batch_format="pyarrow")
+             .materialize())
+
+    dfq = (edges.groupby("obj").aggregate(Count(alias_name="df"))
+           .to_pandas())  # class-dimension-sized: documented small side
+    dfq = dfq.sort_values("obj", kind="mergesort")
+    uris = dfq["obj"].to_numpy(np.str_)
+    dfv = dfq["df"].to_numpy(np.int64)
+    ref = ray.put((uris, dfv))
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vocab, dv = ray.get(ref)
+        a1 = dv[np.searchsorted(vocab, df["obj"].to_numpy(np.str_))]
+        conv_codes, _ = pd.factorize(df["conv_id"], sort=False)
+        h1 = np.zeros(conv_codes.max() + 1 if len(df) else 0, np.int64)
+        np.add.at(h1, conv_codes, a1)
+        out = pd.DataFrame({"obj": df["obj"].to_numpy(),
+                            "a2": h1[conv_codes]})
+        return (out.groupby("obj", sort=False)["a2"].sum()
+                .reset_index())
+
+    bucketed = edges.map_batches(
+        lambda t: add_bucket_column(t, _HITS_BUCKETS),
+        batch_format="pyarrow")
+    a2 = (bucketed.groupby("bucket")
+          .map_groups(lambda df: bucket_partial(df.drop(columns=["bucket"])),
+                      batch_format="pandas")
+          .groupby("obj").aggregate(Sum("a2", alias_name="auth2")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        vocab, dv = ray.get(ref)
+        o = t.column("obj").cast(pa.string()).to_numpy(zero_copy_only=False)
+        d = dv[np.searchsorted(vocab, o.astype(np.str_))]
+        return pa.Table.from_arrays(
+            [t.column("obj").cast(pa.string()), pa.array(d),
+             pc.cast(t.column("auth2"), pa.int64())],
+            names=["class_uri", "df", "auth2"])
+
+    return a2.map_batches(finish, batch_format="pyarrow")
+
+
+def class_hits_sql() -> str:
+    from ..queries import annotate_oracle_sql
+    from ..schemas import AnnotateOptions
+
+    tri = annotate_oracle_sql(AnnotateOptions())
+    return f"""
+WITH tri AS ({tri}),
+e AS (SELECT DISTINCT conv_id, obj FROM tri
+      WHERE pred = 'annotated_with'),
+a1 AS (SELECT obj, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY obj),
+h1 AS (SELECT e.conv_id, CAST(sum(a1.df) AS BIGINT) AS h
+       FROM e JOIN a1 USING (obj) GROUP BY e.conv_id),
+a2 AS (SELECT e.obj, CAST(sum(h1.h) AS BIGINT) AS auth2
+       FROM e JOIN h1 USING (conv_id) GROUP BY e.obj)
+SELECT a1.obj AS class_uri, a1.df, a2.auth2
+FROM a1 JOIN a2 USING (obj)
+"""
+
+
 def _edge_ids(sf_dir: str):
     """Distributed edge prologue (closes VERDICT r4 What's-wrong #1).
 
@@ -1755,6 +1857,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_cooccurrence"] = class_cooccurrence
     q["class_degree"] = class_degree
     q["degree_histogram"] = degree_histogram
+    q["class_hits"] = class_hits
     q["cooccur_components"] = cooccur_components
     q["class_bfs"] = class_bfs
     q["class_jaccard"] = class_jaccard
@@ -1772,6 +1875,7 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_cooccurrence"] = class_cooccurrence_sql()
         o["class_degree"] = class_degree_sql()
         o["degree_histogram"] = degree_histogram_sql()
+        o["class_hits"] = class_hits_sql()
         o["cooccur_components"] = cooccur_components_sql()
         o["class_bfs"] = class_bfs_sql()
         o["class_jaccard"] = class_jaccard_sql()

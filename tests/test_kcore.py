@@ -134,3 +134,19 @@ def test_class_depth_matches_bfs(ray_session):
     got = class_depth(SF).to_pandas()
     assert len(got) == len(all_uris) == got["class_uri"].nunique()
     assert dict(zip(got["class_uri"], got["depth"])) == want
+
+
+def test_class_hits_matches_bruteforce(ray_session):
+    """Two unnormalized HITS rounds over the bipartite conv↔class
+    graph vs a direct pandas computation."""
+    from kgref.ops.kgraph import _direct_triples, class_hits
+
+    tri = _direct_triples(SF).to_pandas()
+    e = (tri[tri["pred"] == "annotated_with"][["conv_id", "obj"]]
+         .drop_duplicates())
+    df = e.groupby("obj").size()
+    h1 = e.join(df.rename("df"), on="obj").groupby("conv_id")["df"].sum()
+    a2 = e.join(h1.rename("h"), on="conv_id").groupby("obj")["h"].sum()
+    got = class_hits(SF).to_pandas().set_index("class_uri").sort_index()
+    assert got["df"].to_dict() == df.to_dict()
+    assert got["auth2"].to_dict() == a2.to_dict()
