@@ -94,14 +94,16 @@ def bio_tags(sf_dir: str):
               .sort_values("doc_id").reset_index(drop=True))
         sp = df[df["text"].isna()]
         # one global coordinate system for the whole bucket:
-        # doc ORDINAL (dense, sorted) * 2^32 + 1-based char offset
-        toks = [t.split(" ") for t in dd["text"]]
-        ntok = np.array([len(ts) for ts in toks], np.int64)
-        flat = np.concatenate([np.asarray(ts, dtype=object)
-                               for ts in toks]) if len(toks) else \
-            np.array([], dtype=object)
+        # doc ORDINAL (dense, sorted) * 2^32 + 1-based char offset;
+        # tokenization + lengths are single Arrow kernels, no per-row
+        # Python
+        tok_list = pc.split_pattern(
+            pa.array(dd["text"], pa.string()), " ")
+        ntok = pc.list_value_length(tok_list).to_numpy().astype(np.int64)
+        flat_arr = tok_list.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
         tok_doc = np.repeat(np.arange(len(dd), dtype=np.int64), ntok)
-        tok_len = np.array([len(x) for x in flat], np.int64)
+        tok_len = pc.utf8_length(flat_arr).to_numpy().astype(np.int64)
         # token start char (1-based) within its doc: a GLOBAL running
         # boundary over the concatenated stream, re-based at each doc's
         # first token (tokens are space-joined, so boundary = len + 1)
