@@ -111,10 +111,18 @@ def bm25_topk(sf_dir: str, top_k: int = TOP_K):
         n = len(batch)
         lens = np.zeros(n, dtype=np.int64)
         np.add.at(lens, ps, tf)
-        # map batch vocab codes → query index (or -1)
-        vlist = vocab.to_pylist()
-        qpos = {t: i for i, t in enumerate(qterms)}
-        code_to_q = np.array([qpos.get(t, -1) for t in vlist], np.int64)
+        # map batch vocab codes → query index (or -1): one searchsorted
+        # against the sorted Q-term array, no per-term Python probe
+        vnp = vocab.to_numpy(zero_copy_only=False).astype(np.str_)
+        qarr = np.asarray(qterms, dtype=np.str_)
+        if len(qarr):
+            qorder = np.argsort(qarr, kind="stable")
+            pos = np.searchsorted(qarr[qorder], vnp)
+            pos = np.clip(pos, 0, len(qarr) - 1)
+            hit_q = qarr[qorder][pos] == vnp
+            code_to_q = np.where(hit_q, qorder[pos], -1).astype(np.int64)
+        else:  # degenerate corpus: no qualifying query terms
+            code_to_q = np.full(len(vnp), -1, np.int64)
         qi = code_to_q[cs]
         hit = qi >= 0
         ph, tfh, qih = ps[hit], tf[hit].astype(np.int64), qi[hit]
