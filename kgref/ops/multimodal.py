@@ -390,6 +390,93 @@ def media_features(sf_dir: str, concurrency: int | None = None):
                              concurrency=concurrency or default_pool_size())
 
 
+def media_dhash(sf_dir: str, concurrency: int | None = None):
+    """(doc_id, dhash_hi, dhash_lo) — perceptual difference-hash of
+    every IMAGE document, the standard near-duplicate signature for
+    image corpora (bucket equal / near-equal hashes → dedup candidates):
+    decode the real container (BMP/PPM), nearest-neighbor resize to
+    9×8, integer grayscale (r+g+b)//3, one bit per horizontal gradient
+    (left < right), packed as two 32-bit halves (top 4 rows / bottom 4
+    rows) so the int64 sign bit is never touched.
+
+    The decode path is the REAL codec round-trip; the DuckDB twin
+    derives the same 64 bits in closed form from the sample model
+    (decoded byte j = sha256(text)[j % 32] — the media_features
+    convention), so the hash — and any dedup bucketing built on it —
+    is value-gated end to end."""
+    import ray.data as rd
+
+    from .pairs import default_pool_size
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = attach_fake_media(ds)
+
+    def dhash(batch: pa.Table) -> pa.Table:
+        doc_ids, his, los = [], [], []
+        for did, mt, payload, w, h in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("media_type").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("width").to_pylist(),
+                batch.column("height").to_pylist()):
+            if mt != "image":
+                continue
+            pix = (decode_bmp(payload) if payload[:2] == b"BM"
+                   else decode_ppm(payload)).reshape(h, w, 3)
+            g = resize_nearest(pix, 9, 8).astype(np.int64)
+            gray = g.sum(axis=2) // 3
+            bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)  # 8×8
+            weights = np.int64(1) << np.arange(8, dtype=np.int64)
+            rows = (bits * weights[None, :]).sum(axis=1)  # per-row byte
+            row_w = np.int64(1) << (8 * np.arange(4, dtype=np.int64))
+            doc_ids.append(did)
+            his.append(int((rows[:4] * row_w).sum()))
+            los.append(int((rows[4:] * row_w).sum()))
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.int64()), pa.array(his, pa.int64()),
+             pa.array(los, pa.int64())],
+            names=["doc_id", "dhash_hi", "dhash_lo"])
+
+    return media.map_batches(dhash, batch_format="pyarrow",
+                             batch_size=MEDIA_BATCH,
+                             concurrency=concurrency or default_pool_size())
+
+
+def media_dhash_sql() -> str:
+    hexd = "'0123456789abcdef'"
+    return f"""
+WITH d AS (
+  SELECT doc_id AS did, text, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+g AS (SELECT *, sha256(text) AS hx FROM d),
+sb AS (
+  SELECT did, p,
+    (strpos({hexd}, substr(hx, CAST(2*p+1 AS INTEGER), 1)) - 1) * 16
+      + (strpos({hexd}, substr(hx, CAST(2*p+2 AS INTEGER), 1)) - 1) AS bv
+  FROM g, range(0, 32) r(p)),
+gp AS (
+  SELECT g.did, x.x AS x, y.y AS y,
+         CAST(sum(sb.bv) // 3 AS BIGINT) AS gv
+  FROM g, range(0, 8) y(y), range(0, 9) x(x), range(0, 3) c(c)
+  JOIN sb ON sb.did = g.did
+   AND sb.p = ((((y.y * g.h) // 8) * g.w + (x.x * g.w) // 9) * 3 + c.c)
+              % 32
+  GROUP BY g.did, x.x, y.y),
+bits AS (
+  SELECT a.did, a.y, a.x,
+         CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+  FROM gp a JOIN gp b ON b.did = a.did AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x <= 7)
+SELECT did AS doc_id,
+  CAST(sum(CASE WHEN y < 4 THEN bit * (CAST(1 AS BIGINT) << (y*8 + x))
+           ELSE 0 END) AS BIGINT) AS dhash_hi,
+  CAST(sum(CASE WHEN y >= 4 THEN bit * (CAST(1 AS BIGINT) << ((y-4)*8 + x))
+           ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits GROUP BY did
+"""
+
+
 def media_manifest(sf_dir: str, concurrency: int | None = None):
     """The container-arithmetic projection of media_features: (doc_id,
     media_type, media_bytes, n_frames).  These four columns pass
@@ -487,6 +574,8 @@ LEFT JOIN th ON th.did = m.doc_id
 def register(q: dict, o: dict | None = None) -> None:
     q["media_features"] = media_features
     q["media_manifest"] = media_manifest
+    q["media_dhash"] = media_dhash
     if o is not None:
         o["media_features"] = media_features_sql()
         o["media_manifest"] = media_manifest_sql()
+        o["media_dhash"] = media_dhash_sql()

@@ -2138,3 +2138,39 @@ def test_bm25_topk_matches_bruteforce(ray_session):
             scores[did] = s
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
     assert list(zip(got["doc_id"], got["score_fx"])) == want
+
+
+def test_media_dhash_matches_seed_model(ray_session):
+    """The real BMP/PPM decode → resize → dHash path equals a direct
+    computation from the sample model (byte j = sha256(text)[j % 32]),
+    and identical texts produce identical hashes."""
+    import hashlib
+
+    from kgref.ops.multimodal import media_dhash
+
+    got = media_dhash(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    imgs = docs[docs["doc_id"] % 3 == 0]
+    assert len(got) == len(imgs)
+    by_text = {}
+    for rec in imgs.itertuples():
+        seed = np.frombuffer(hashlib.sha256(rec.text.encode()).digest(),
+                             np.uint8).astype(np.int64)
+        w, h = 16 + rec.doc_id % 16, 16 + rec.doc_id % 8
+        yi, xi = (np.arange(8) * h) // 8, (np.arange(9) * w) // 9
+        pos = ((yi[:, None] * w + xi[None, :])[..., None] * 3
+               + np.arange(3)) % 32
+        gray = seed[pos].sum(axis=2) // 3
+        bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+        rows = (bits << np.arange(8)).sum(axis=1)
+        hi = int((rows[:4] << (8 * np.arange(4))).sum())
+        lo = int((rows[4:] << (8 * np.arange(4))).sum())
+        assert (got.loc[rec.doc_id, "dhash_hi"],
+                got.loc[rec.doc_id, "dhash_lo"]) == (hi, lo), rec.doc_id
+        key = (rec.text, w, h)
+        if key in by_text:
+            assert by_text[key] == (hi, lo)
+        by_text[key] = (hi, lo)
+    assert (got[["dhash_hi", "dhash_lo"]] >= 0).all().all()
+    assert (got[["dhash_hi", "dhash_lo"]] < 2**32).all().all()
