@@ -262,6 +262,94 @@ def class_hits(sf_dir: str):
     return a2.map_batches(finish, batch_format="pyarrow")
 
 
+def assortativity_ppm(m: int, s1: int, s2: int, sxy: int) -> int:
+    """Exact fixed-point Pearson degree correlation from the directed-
+    pair moments (Python ints — the caller's table is one row):
+    r = (M·Sxy − S1²) / (M·S2 − S1²), in parts-per-million, floor
+    division.  A REGULAR graph (every degree equal — true of the dense
+    co-occurrence fixtures) has zero variance; r is undefined there and
+    this returns 0 by documented convention (both sides share it)."""
+    num = m * sxy - s1 * s1
+    den = m * s2 - s1 * s1
+    if den == 0:
+        return 0
+    return (1_000_000 * num) // den
+
+
+def class_assortativity(sf_dir: str):
+    """One row (n_pairs, sum_x, sum_xx, sum_xy, r_ppm) — the degree-
+    assortativity moments of the co-occurrence graph over its directed
+    edge pairs, plus the exact ppm Pearson coefficient (hubs-link-hubs
+    vs hubs-link-leaves; the skew diagnostic that decides whether the
+    iterative ops need hot-key salting).  Combiner: per-batch int64
+    moment partials (degrees via the broadcast node-dimension array),
+    one constant-key Sum, Python-int finish on the single row."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    uri_ref, n, eds = _edge_ids(sf_dir)
+    if n == 0:
+        return _empty(["n_pairs", "sum_x", "sum_xx", "sum_xy", "r_ppm"],
+                      [pa.int64()] * 5)
+    deg_ref = ray.put(_sym_degree(eds, n))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da, db = d[a], d[b]
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()),
+             pa.array([2 * len(a)], pa.int64()),
+             pa.array([int(da.sum() + db.sum())], pa.int64()),
+             pa.array([int((da * da).sum() + (db * db).sum())], pa.int64()),
+             pa.array([2 * int((da * db).sum())], pa.int64())],
+            names=["k", "m", "s1", "s2", "sxy"])
+
+    agg = (eds.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("m", alias_name="m"),
+                                   Sum("s1", alias_name="s1"),
+                                   Sum("s2", alias_name="s2"),
+                                   Sum("sxy", alias_name="sxy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = int(t.column("m")[0].as_py())
+        s1 = int(t.column("s1")[0].as_py())
+        s2 = int(t.column("s2")[0].as_py())
+        sxy = int(t.column("sxy")[0].as_py())
+        return pa.Table.from_arrays(
+            [pa.array([m], pa.int64()), pa.array([s1], pa.int64()),
+             pa.array([s2], pa.int64()), pa.array([sxy], pa.int64()),
+             pa.array([assortativity_ppm(m, s1, s2, sxy)], pa.int64())],
+            names=["n_pairs", "sum_x", "sum_xx", "sum_xy", "r_ppm"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def class_assortativity_sql() -> str:
+    return f"""
+WITH {_cooc_cte()},
+e AS (SELECT class_a AS a, class_b AS b FROM cooc
+      UNION ALL SELECT class_b, class_a FROM cooc),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS u FROM e) GROUP BY u),
+p AS (SELECT d1.d AS x, d2.d AS y
+      FROM e JOIN deg d1 ON d1.u = e.a JOIN deg d2 ON d2.u = e.b),
+mom AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+               CAST(sum(x) AS HUGEINT) AS s1,
+               CAST(sum(x*x) AS HUGEINT) AS s2,
+               CAST(sum(x*y) AS HUGEINT) AS sxy
+        FROM p)
+SELECT CAST(m AS BIGINT) AS n_pairs, CAST(s1 AS BIGINT) AS sum_x,
+       CAST(s2 AS BIGINT) AS sum_xx, CAST(sxy AS BIGINT) AS sum_xy,
+       CAST(CASE WHEN m*s2 - s1*s1 = 0 THEN 0
+            ELSE (1000000 * (m*sxy - s1*s1)) // (m*s2 - s1*s1)
+            END AS BIGINT) AS r_ppm
+FROM mom
+"""
+
+
 def class_hits_sql() -> str:
     from ..queries import annotate_oracle_sql
     from ..schemas import AnnotateOptions
@@ -1858,6 +1946,7 @@ def register(q: dict, o: dict | None = None) -> None:
     q["class_degree"] = class_degree
     q["degree_histogram"] = degree_histogram
     q["class_hits"] = class_hits
+    q["class_assortativity"] = class_assortativity
     q["cooccur_components"] = cooccur_components
     q["class_bfs"] = class_bfs
     q["class_jaccard"] = class_jaccard
@@ -1876,6 +1965,7 @@ def register(q: dict, o: dict | None = None) -> None:
         o["class_degree"] = class_degree_sql()
         o["degree_histogram"] = degree_histogram_sql()
         o["class_hits"] = class_hits_sql()
+        o["class_assortativity"] = class_assortativity_sql()
         o["cooccur_components"] = cooccur_components_sql()
         o["class_bfs"] = class_bfs_sql()
         o["class_jaccard"] = class_jaccard_sql()

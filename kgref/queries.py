@@ -737,7 +737,7 @@ _GATE_PRIORITY = [
     # because they are one-combiner derivatives of in-window ops or,
     # for bio_tags, a projection of the in-window annotate family)
     "degree_histogram", "class_depth", "bio_tags", "class_hits",
-    "media_dhash",
+    "media_dhash", "class_assortativity",
     "annotate_min_term", "annotate_stop_extra",
     "annotate_nostop", "annotate_nosyn", "annotate_ont_filter",
     "annotate_semtype", "annotate_hier2", "annotate_score_old",

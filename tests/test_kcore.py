@@ -150,3 +150,40 @@ def test_class_hits_matches_bruteforce(ray_session):
     got = class_hits(SF).to_pandas().set_index("class_uri").sort_index()
     assert got["df"].to_dict() == df.to_dict()
     assert got["auth2"].to_dict() == a2.to_dict()
+
+
+def test_assortativity_ppm_hand_values():
+    """The exact finish arithmetic on a hand star graph S3 (one hub of
+    degree 3, three leaves of degree 1): r must be -1 exactly, and the
+    regular-graph degenerate case returns the documented 0."""
+    from kgref.ops.kgraph import assortativity_ppm
+
+    # star: directed pairs (3,1)x3 and (1,3)x3 → M=6, S1=12, S2=30, Sxy=9·… 
+    # x values: hub→leaf gives x=3 (×3), leaf→hub x=1 (×3)
+    m, s1 = 6, 3 * 3 + 3 * 1
+    s2 = 3 * 9 + 3 * 1
+    sxy = 6 * 3  # every pair multiplies 3·1
+    assert assortativity_ppm(m, s1, s2, sxy) == -1_000_000
+    # 4-cycle: all degrees 2 → zero variance → convention 0
+    assert assortativity_ppm(8, 16, 32, 32) == 0
+
+
+def test_class_assortativity_reconciles(ray_session):
+    """Moments reconcile with class_degree, and the fixture graph's
+    regular degeneracy hits the documented r_ppm = 0 convention."""
+    from kgref.ops.kgraph import (class_assortativity, class_cooccurrence,
+                                  class_degree)
+
+    row = class_assortativity(SF).to_pandas().iloc[0]
+    edges = class_cooccurrence(SF).to_pandas()
+    deg = class_degree(SF).to_pandas().set_index("class_uri")["degree"]
+    da = deg[edges["class_a"]].to_numpy(np.int64)
+    db = deg[edges["class_b"]].to_numpy(np.int64)
+    assert row["n_pairs"] == 2 * len(edges)
+    assert row["sum_x"] == int(da.sum() + db.sum())
+    assert row["sum_xx"] == int((da * da).sum() + (db * db).sum())
+    assert row["sum_xy"] == 2 * int((da * db).sum())
+    from kgref.ops.kgraph import assortativity_ppm
+    assert row["r_ppm"] == assortativity_ppm(
+        int(row["n_pairs"]), int(row["sum_x"]),
+        int(row["sum_xx"]), int(row["sum_xy"]))
