@@ -3,10 +3,11 @@ entries) must be fully oracle-backed, the registry must be
 duplicate-free, and no oracle may be orphaned.  Pure registry checks —
 no Ray session needed."""
 
-# the four queries that are rows-only BY CONSTRUCTION (probabilistic
-# ANN sketches gated by pytest recall floors; iterative BPE gated by a
-# bit-exact reference-implementation test)
+# queries that are rows-only BY CONSTRUCTION (probabilistic sketches
+# gated by pytest recall floors ≥ 0.9 vs their exact siblings;
+# iterative BPE gated by a bit-exact reference-implementation test)
 ROWS_ONLY_BY_DESIGN = {"ann_topk_lsh", "ann_topk_ivf",
+                       "dedup_minhash_lsh", "dedup_simhash",
                        "bpe_train", "bpe_encode"}
 
 
