@@ -287,7 +287,7 @@ def run_suite_median(sf_dir: str, num_cpus: int,
     # flagship's exchange-byte roll-up, all from ONE load regime
     here = os.path.dirname(os.path.abspath(__file__))
     reps = []
-    for tag in ("", "b", "c", "d", "e"):
+    for tag in ("", "b", "c", "d", "e", "f"):
         crit_path = os.path.join(here, f"SCALING_r05{tag}.json")
         if os.path.exists(crit_path):
             with open(crit_path) as fh:
